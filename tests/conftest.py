@@ -1,0 +1,24 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by forcing the host
+platform and splitting it into 8 virtual devices (SURVEY.md §4). The harness
+may have pre-imported jax and pinned a TPU platform via sitecustomize, so the
+platform is overridden through jax.config (effective until the first backend
+is initialized) rather than env vars alone.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.local_device_count() == 8, (
+    "expected 8 virtual CPU devices; got "
+    f"{jax.local_device_count()} on {jax.devices()[:1]}"
+)

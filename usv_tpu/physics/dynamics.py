@@ -1,0 +1,184 @@
+"""Fossen 3-DOF surface-vessel dynamics — the TPU-native ``DynamicModel``.
+
+This is the XLA equivalent of the reference's C++ ``usv_libs`` dynamic model
+and of the inline NumPy dynamics in ``control/usv_asmc.py:94-235`` /
+``envs/usv_asmc_env.py:126-226``. Design differences from the reference
+(deliberate, TPU-first):
+
+* No 3x3 matrices are materialized. The mass matrix has a fixed sparsity
+  (surge decoupled; sway/yaw 2x2 block), so M^-1 is applied in closed form and
+  the Coriolis/damping products are written component-wise. Under ``vmap``
+  every line below becomes one fused elementwise VPU op over the env batch —
+  there are no tiny matmuls to defeat XLA tiling.
+* State is an explicit pytree (:class:`DynamicsState`) instead of hidden
+  object attributes, so the whole model is a pure function usable inside
+  ``lax.scan`` substep loops, ``vmap``, and ``shard_map``.
+
+Semantics replicated exactly (float tolerance) from the reference:
+speed-dependent Xu/Xuu switch at |u| > 1.2 (control/usv_asmc.py:96-99),
+speed-dependent Yv/Yr/Nv/Nr (ibid.:101-108), CRB/CA/Dl/Dn assembly
+(ibid.:201-223) including the reference's CA terms that multiply ``X_u_dot``
+by ``m`` (kept verbatim for parity), trapezoidal integration of nu then eta
+(ibid.:226-235), thruster mixing (ibid.:176), and the sinusoidal perturbation
+force rotated into the body frame (ibid.:184-198).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from usv_tpu.physics.params import VehicleParams
+
+
+@struct.dataclass
+class DynamicsState:
+    """Pose, body velocity, and the previous derivatives for the trapezoid rule.
+
+    pose         : (..., 3)  x, y, psi            (NED position + heading)
+    vel          : (..., 3)  u, v, r              (body-frame velocities)
+    accel_last   : (..., 3)  previous nu_dot      (u̇, v̇, ṙ)
+    eta_dot_last : (..., 3)  previous eta_dot     (ẋ, ẏ, ψ̇)
+    """
+
+    pose: jnp.ndarray
+    vel: jnp.ndarray
+    accel_last: jnp.ndarray
+    eta_dot_last: jnp.ndarray
+
+
+def init_dynamics(x=0.0, y=0.0, psi=0.0, dtype=jnp.float32) -> DynamicsState:
+    """Fresh model at a pose, zero velocity — C++ ``DynamicModel(x, y, psi)``."""
+    pose = jnp.asarray([x, y, psi], dtype=dtype)
+    z = jnp.zeros(3, dtype=dtype)
+    return DynamicsState(pose=pose, vel=z, accel_last=z, eta_dot_last=z)
+
+
+# Constant factor in Yv (reference control/usv_asmc.py:101-102): the bracketed
+# hull-form expression is state-independent.
+_YV_FORM_FACTOR = 1.1 + 0.0045 * (1.01 / 0.09) - 0.1 * (0.27 / 0.09) + 0.016 * (
+    (0.27 / 0.09) ** 2
+)
+# The reference spells pi as 3.141592 (control/usv_asmc.py:103-108); keep it
+# for exact parity.
+_REF_PI = 3.141592
+
+
+def hydrodynamic_coefficients(u, v):
+    """Speed-dependent linear damping terms (Xu, Xuu, Yv, Yr, Nv, Nr).
+
+    Reference control/usv_asmc.py:94-108. The |u| > 1.2 branch becomes a
+    branch-free ``where`` (identical results, compiles to a select).
+    """
+    fast = jnp.abs(u) > 1.2
+    Xu = jnp.where(fast, 64.55, -25.0)
+    Xuu = jnp.where(fast, -70.92, 0.0)
+
+    speed = jnp.sqrt(u * u + v * v)
+    Yv = 0.5 * (-40.0 * 1000.0 * jnp.abs(v)) * _YV_FORM_FACTOR
+    Yr = 6.0 * (-_REF_PI * 1000.0) * speed * 0.09 * 0.09 * 1.01
+    Nv = 0.06 * (-_REF_PI * 1000.0) * speed * 0.09 * 0.09 * 1.01
+    Nr = 0.02 * (-_REF_PI * 1000.0) * speed * 0.09 * 0.09 * 1.01 * 1.01
+    return Xu, Xuu, Yv, Yr, Nv, Nr
+
+
+def thruster_allocation(params: VehicleParams, tport, tstbd):
+    """Port/starboard thrusts -> generalized force tau = (Tx, 0, Tz).
+
+    Reference control/usv_asmc.py:176.
+    """
+    tx = tport + params.c * tstbd
+    tz = 0.5 * params.B * (tport - params.c * tstbd)
+    return tx, tz
+
+
+def fossen_acceleration(params: VehicleParams, vel, tau_x, tau_y, tau_z):
+    """nu_dot = M^-1 (tau - C(nu) nu - D(nu) nu), component-wise.
+
+    Exactly the math of reference control/usv_asmc.py:201-227 with M^-1
+    applied in closed form (M is constant: surge decoupled, 2x2 sway/yaw
+    block). The reference's CA entries that read ``X_u_dot * m * u`` are kept
+    verbatim — they are part of the model being matched.
+    """
+    u, v, r = vel[..., 0], vel[..., 1], vel[..., 2]
+    Xu, Xuu, Yv, Yr, Nv, Nr = hydrodynamic_coefficients(u, v)
+
+    # C(nu) nu  (CRB + CA; reference :201-211)
+    c13 = -params.m * v + 2.0 * (
+        params.Y_v_dot * v + 0.5 * (params.Y_r_dot + params.N_v_dot) * r
+    )
+    c23 = params.m * u - params.X_u_dot * params.m * u
+    c31 = params.m * v + 2.0 * (
+        -params.Y_v_dot * v - 0.5 * (params.Y_r_dot + params.N_v_dot) * r
+    )
+    c32 = -params.m * u + params.X_u_dot * params.m * u
+
+    # D(nu) nu  (Dl - Dn; reference :213-223)
+    d11 = -Xu - Xuu * jnp.abs(u)
+    d22 = -Yv - (params.Yvv * jnp.abs(v) + params.Yvr * jnp.abs(r))
+    d23 = -Yr - (params.Yrv * jnp.abs(v) + params.Yrr * jnp.abs(r))
+    d32 = -Nv - (params.Nvv * jnp.abs(v) + params.Nvr * jnp.abs(r))
+    d33 = -Nr - (params.Nrv * jnp.abs(v) + params.Nrr * jnp.abs(r))
+
+    rhs_u = tau_x - c13 * r - d11 * u
+    rhs_v = tau_y - c23 * r - (d22 * v + d23 * r)
+    rhs_r = tau_z - (c31 * u + c32 * v) - (d32 * v + d33 * r)
+
+    # Closed-form M^-1
+    inv_m11 = 1.0 / params.m11
+    det = params.m22 * params.m33 - params.m23 * params.m32
+    a_u = rhs_u * inv_m11
+    a_v = (params.m33 * rhs_v - params.m23 * rhs_r) / det
+    a_r = (params.m22 * rhs_r - params.m32 * rhs_v) / det
+    return jnp.stack([a_u, a_v, a_r], axis=-1)
+
+
+def perturbation_force(psi, perturb_step, dt, freq, magnitude):
+    """Sinusoidal disturbance force, world frame rotated into body frame.
+
+    Reference control/usv_asmc.py:184-198: force = [cos(t k) M, cos(t+k+10) M, 0]
+    post-multiplied by J (i.e. J^T f — a world->body rotation).
+    """
+    t = perturb_step * dt
+    k = freq * (2.0 * jnp.pi)
+    fx = jnp.cos(t * k) * magnitude
+    fy = jnp.cos(t + k + 10.0) * magnitude
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    # row-vector @ J == J^T [fx, fy, 0]
+    return c * fx + s * fy, -s * fx + c * fy
+
+
+def dynamics_step(
+    params: VehicleParams,
+    state: DynamicsState,
+    tport,
+    tstbd,
+    dt,
+    perturb_x=0.0,
+    perturb_y=0.0,
+    perturb_z=0.0,
+) -> DynamicsState:
+    """One integration substep (default 100 Hz): thrust -> accel -> trapezoid.
+
+    Mirrors the per-substep tail of reference control/usv_asmc.py:172-235:
+    trapezoidal integration of nu from nu_dot, then of eta from J(psi) nu.
+    ``perturb_*`` is an additional body-frame generalized force (the
+    ``update_with_perturb`` path of the C++ model, simple_env_aitsmc.py:89).
+    """
+    tau_x, tau_z = thruster_allocation(params, tport, tstbd)
+    tau_x = tau_x + perturb_x
+    tau_y = jnp.zeros_like(tau_x) + perturb_y
+    tau_z = tau_z + perturb_z
+
+    accel = fossen_acceleration(params, state.vel, tau_x, tau_y, tau_z)
+    vel = state.vel + 0.5 * dt * (accel + state.accel_last)
+
+    psi = state.pose[..., 2]
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    u, v, r = vel[..., 0], vel[..., 1], vel[..., 2]
+    eta_dot = jnp.stack([c * u - s * v, s * u + c * v, r], axis=-1)
+    pose = state.pose + 0.5 * dt * (eta_dot + state.eta_dot_last)
+
+    return DynamicsState(
+        pose=pose, vel=vel, accel_last=accel, eta_dot_last=eta_dot
+    )
