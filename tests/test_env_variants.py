@@ -1,0 +1,94 @@
+"""usv-asmc-simple and usv-aitsmc-simple functional env tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usv_tpu.envs import make
+from usv_tpu.envs.simple_aitsmc import SimpleAitsmcEnvConfig
+from usv_tpu.envs.simple_aitsmc import reset as aitsmc_reset
+from usv_tpu.envs.simple_aitsmc import step as aitsmc_step
+from usv_tpu.envs.simple_asmc import SimpleAsmcEnvConfig
+from usv_tpu.envs.simple_asmc import reset as asmc_reset
+from usv_tpu.envs.simple_asmc import step as asmc_step
+
+
+def test_asmc_simple_steps_and_moves():
+    # Compat mode replicates the reference quirk (simple_env_asmc.py:27):
+    # the base step's kinematic update clobbers the hydrodynamic velocity
+    # toward the decaying EMA action, so per-step displacement is small
+    # (dynamics restart from ~rest each step) but nonzero.
+    cfg = SimpleAsmcEnvConfig()
+    state = asmc_reset(cfg, jax.random.key(0))
+    jstep = jax.jit(lambda s, a: asmc_step(cfg, s, a))
+    p0 = np.asarray(state.base.position[:2]).copy()
+    action = jnp.asarray([1.5, 0.0], dtype=jnp.float32)
+    for _ in range(20):
+        state, ts = jstep(state, action)
+    compat_disp = np.linalg.norm(np.asarray(state.base.position[:2]) - p0)
+    assert 0.01 < compat_disp < 1.0
+    assert np.isfinite(float(ts.reward))
+    assert ts.obs.shape == (143,)
+
+    # Clean mode (no double integration): the ASMC actually drives the boat.
+    cfg2 = SimpleAsmcEnvConfig(double_integrate_compat=False)
+    state = asmc_reset(cfg2, jax.random.key(0))
+    jstep2 = jax.jit(lambda s, a: asmc_step(cfg2, s, a))
+    for _ in range(20):
+        state, ts = jstep2(state, action)
+    clean_disp = np.linalg.norm(np.asarray(state.base.position[:2]) - p0)
+    assert clean_disp > 1.0
+    assert float(state.base.velocity[0]) > 0.5
+
+
+def test_asmc_simple_controller_state_persists():
+    cfg = SimpleAsmcEnvConfig()
+    state = asmc_reset(cfg, jax.random.key(1))
+    state, _ = asmc_step(cfg, state, jnp.asarray([2.0, 0.0]))
+    ka1 = float(state.ctrl.ka_u)
+    state, _ = asmc_step(cfg, state, jnp.asarray([2.0, 0.0]))
+    ka2 = float(state.ctrl.ka_u)
+    assert ka1 > 0 and ka2 != ka1  # adaptive gain evolving across env steps
+
+
+def test_aitsmc_simple_tracks_and_reports_debug():
+    cfg = SimpleAitsmcEnvConfig()
+    state = aitsmc_reset(cfg, jax.random.key(2))
+    assert float(state.base.reference_velocity) == 0.5
+    jstep = jax.jit(lambda s, a: aitsmc_step(cfg, s, a))
+    action = jnp.asarray([0.5, 0.0], dtype=jnp.float32)
+    for _ in range(60):
+        state, ts = jstep(state, action)
+    info = ts.info
+    for k in ("e_u", "e_r", "Ka_u", "Ka_r", "left_thruster", "right_thruster",
+              "setpoint_u", "setpoint_r", "perturb"):
+        assert k in info
+    # surge velocity should approach the (EMA-converging) 0.5 setpoint
+    assert abs(float(state.base.velocity[0]) - 0.5) < 0.25
+    # last_action carries the setpoint values (reference :118)
+    assert abs(float(state.base.last_action[0]) - float(info["setpoint_u"])) < 1e-6
+
+
+def test_aitsmc_perturb_fn():
+    def perturb(step):
+        on = (step > 3) & (step < 8)
+        return jnp.where(on, jnp.asarray([0.0, 10.0, 20.0]), jnp.zeros(3))
+
+    cfg = SimpleAitsmcEnvConfig(perturb_fn=perturb)
+    state = aitsmc_reset(cfg, jax.random.key(3))
+    jstep = jax.jit(lambda s, a: aitsmc_step(cfg, s, a))
+    perturbs = []
+    for _ in range(10):
+        state, ts = jstep(state, jnp.asarray([0.3, 0.0]))
+        perturbs.append(np.asarray(ts.info["perturb"]))
+    perturbs = np.stack(perturbs)
+    assert np.all(perturbs[5][1:] == [10.0, 20.0])
+    assert np.all(perturbs[0] == 0.0)
+
+
+def test_registry_has_variants():
+    for env_id in ("usv-asmc-simple", "usv-aitsmc-simple"):
+        h = make(env_id)
+        state = h.reset(h.cfg, jax.random.key(0))
+        state, ts = h.step(h.cfg, state, jnp.zeros(2))
+        assert ts.obs.shape == (143,)

@@ -1,0 +1,75 @@
+"""Batch layer: vmapped autoreset, frame stacking, rollout throughput."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usv_tpu.envs import make
+from usv_tpu.vector import BatchedEnv, rollout_scan, throughput
+
+
+def test_batched_reset_step():
+    h = make("usv-simple")
+    benv = BatchedEnv(h, num_envs=16)
+    state, obs = benv.reset(jax.random.key(0))
+    assert obs.shape == (16, 143)
+    actions = jnp.zeros((16, 2))
+    state, ts = benv.step(state, actions)
+    assert ts.obs.shape == (16, 143)
+    assert ts.reward.shape == (16,)
+    # envs are randomized differently
+    assert not np.allclose(np.asarray(ts.obs[0]), np.asarray(ts.obs[1]))
+
+
+def test_frame_stack():
+    h = make("usv-simple")
+    benv = BatchedEnv(h, num_envs=4, frame_stack=5)
+    state, obs = benv.reset(jax.random.key(1))
+    assert state.frames.shape == (4, 5, 143)
+    # initially all frames equal the reset obs
+    np.testing.assert_allclose(np.asarray(state.frames[:, 0]), np.asarray(obs))
+    np.testing.assert_allclose(np.asarray(state.frames[:, 4]), np.asarray(obs))
+    state, ts = benv.step(state, jnp.zeros((4, 2)))
+    # newest frame is the new obs; older frames shifted
+    np.testing.assert_allclose(np.asarray(state.frames[:, 4]), np.asarray(ts.obs))
+    assert state.stacked_obs.shape == (4, 5 * 143)
+
+
+def test_autoreset_on_time_limit():
+    h = make("usv-simple", max_episode_steps=3)
+    benv = BatchedEnv(h, num_envs=8)
+    state, _ = benv.reset(jax.random.key(2))
+    for i in range(3):
+        state, ts = benv.step(state, jnp.zeros((8, 2)))
+    assert np.all(np.asarray(ts.done))
+    # step_count must have been reset on all envs
+    assert np.all(np.asarray(state.env.step_count) == 0)
+    # after autoreset, envs got fresh randomization (positions differ from
+    # each other)
+    pos = np.asarray(state.env.position)
+    assert len(np.unique(pos[:, 2])) > 1
+
+
+def test_rollout_scan_runs():
+    h = make("usv-simple")
+    run = rollout_scan(h, num_envs=32, n_steps=50)
+    state, reward_sum, done_count = jax.block_until_ready(run(jax.random.key(0)))
+    assert np.isfinite(float(reward_sum))
+
+
+def test_rollout_with_policy():
+    h = make("usv-simple")
+
+    def policy(obs, key):
+        return jax.random.uniform(key, (obs.shape[0], 2), minval=-1.0, maxval=1.0)
+
+    run = rollout_scan(h, num_envs=16, n_steps=30, policy_fn=policy)
+    state, reward_sum, done_count = jax.block_until_ready(run(jax.random.key(3)))
+    assert np.isfinite(float(reward_sum))
+
+
+def test_throughput_protocol():
+    h = make("usv-simple")
+    out = throughput(h, num_envs=64, n_steps=100, repeats=1)
+    assert out["env_steps"] == 6400
+    assert out["steps_per_second"] > 0

@@ -93,19 +93,26 @@ def asmc_control(
     pose,
     vel,
     dt=0.01,
+    absolute_heading: bool = False,
 ):
     """One 100 Hz control update: returns (state, tport, tstbd, debug dict).
 
     ``u_d`` is the surge-speed setpoint (reference action[0]), and
     ``heading_offset`` the course-offset setpoint added to the sideslip-
-    compensated course (reference action[1]).
+    compensated course (reference action[1]). With ``absolute_heading`` the
+    setpoint is a world-frame heading instead (the C++ ``ASMCSetpoint.heading``
+    contract used by the CA env, usv_asmc_ca_env.py:196-198, where the action
+    denormalizes to an absolute angle in [-pi, pi]).
     """
     u, v, r = vel[..., 0], vel[..., 1], vel[..., 2]
     psi = pose[..., 2]
 
-    # Sideslip-compensated desired heading (reference :72-77)
-    beta = jnp.arcsin(v / (0.001 + jnp.hypot(u, v)))
-    psi_d = psi + beta + heading_offset
+    if absolute_heading:
+        psi_d = heading_offset
+    else:
+        # Sideslip-compensated desired heading (reference :72-77)
+        beta = jnp.arcsin(v / (0.001 + jnp.hypot(u, v)))
+        psi_d = psi + beta + heading_offset
 
     # Second-order filter for the desired yaw rate r_d (reference :84-92)
     r_d_raw = (psi_d - state.psi_d_last) / dt
@@ -212,6 +219,7 @@ def asmc_compute(
     dt: float = 0.01,
     perturb_freq: float = 10.0,
     perturb_magnitude: float = 5.0,
+    absolute_heading: bool = False,
 ):
     """N substeps of {ASMC @100 Hz -> dynamics integrate} — ``UsvAsmc.compute``.
 
@@ -229,6 +237,7 @@ def asmc_compute(
         ctrl, tport, tstbd, debug = asmc_control(
             gains, vparams, carry.ctrl, u_d, heading_offset,
             carry.dyn.pose, carry.dyn.vel, dt,
+            absolute_heading=absolute_heading,
         )
         if do_perturb:
             px, py = perturbation_force(

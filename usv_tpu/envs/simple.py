@@ -1,0 +1,385 @@
+"""``usv-simple`` — the modern main environment, as a pure functional core.
+
+TPU-native re-design of reference ``gym_usv/envs/simple_env.py`` (349 LoC,
+component #2 of SURVEY.md §2): first-order kinematic boat, 128-ray sensor,
+straight start->end path with monotone progress, dense shaped reward, and
+fully domain-randomized resets — all on-device via ``jax.random``, with
+fixed-capacity masked obstacle arrays instead of dynamic deletes.
+
+Replicated semantics (reference line cites inline): EMA action smoothing
+(:317), acceleration-clipped velocity update (:320-324), lookahead'd
+closest-point progress (:139-148), the reward's effective terms including the
+dead overwrites' final values (:150-201 — three ``ye_reward`` assignments of
+which the max-of-exponentials wins, ``delta_action_reward`` linear form wins,
+``angle_action_reward`` zeroed), observation built from the *previous*
+action (:338), termination on boundary-distance < 0.05 (:334) and
+out-of-bounds truncation (:336).
+
+Known deliberate divergences (documented, not bugs):
+
+* RNG: ``jax.random`` streams replace the NumPy Generator — identical
+  distributions, different bit streams. Parity with the reference is defined
+  at fixed-initial-state trajectory level (SURVEY.md §7.3).
+* Reset sensor data: the reference's ``reset`` reuses whatever ``sensor_data``
+  array the object held (zeros on a fresh env, stale on reuse; simple_env.py
+  :47,:302); here reset always behaves like a fresh env (zeros).
+* Obstacle count: uniform over [15, 30) at cap 32, mask-padded; the
+  "delete near start/target" pass invalidates mask bits instead of shrinking
+  the array (:260-268), and the "add one back if empty" branch re-validates
+  slot 0 (:270-274).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from usv_tpu.core.angles import wrap_angle
+from usv_tpu.core.geometry import closest_point_on_segment, cross_track_error
+from usv_tpu.envs.types import TimeStep
+from usv_tpu.ops.raycast import raycast, raycast_first_hit_compat
+
+
+@dataclasses.dataclass(frozen=True)
+class SimpleEnvConfig:
+    """Static configuration (hashable; baked into the jit)."""
+
+    sensor_count: int = 128
+    sensor_max_range: float = 100.0
+    sensor_span: float = (2.0 / 3.0) * 2.0 * np.pi
+    obstacle_cap: int = 32
+    env_bound: float = 20.0  # world is [0, env_bound]^2 (reference :56)
+    dt: float = 1.0 / 25.0
+    max_episode_steps: int = 500  # TimeLimit (gym_usv/__init__.py:27)
+    ignore_obstacles: bool = False
+    # Reference raycast reduction (sorted-first-hit, :439-461) vs true min.
+    strict_compat_raycast: bool = True
+    # Reward constants (reference :150-186)
+    ye_k: float = 0.075
+    collision_penalty: float = -20.0
+    collision_sensor_threshold: float = 0.2
+    # Number of extra obstacles placed along the path at reset
+    # (reset option 'place_obstacles_on_path', reference :276-288). Static.
+    path_obstacles: int = 0
+
+    @property
+    def obs_dim(self) -> int:
+        return 15 + self.sensor_count
+
+    @property
+    def action_dim(self) -> int:
+        return 2
+
+
+@struct.dataclass
+class SimpleEnvState:
+    key: jnp.ndarray
+    position: jnp.ndarray          # (3,) x, y, psi
+    velocity: jnp.ndarray          # (3,) u, v, r
+    last_action: jnp.ndarray       # (3,) smoothed [u, 0, r] action
+    path_start: jnp.ndarray        # (2,)
+    path_end: jnp.ndarray          # (2,)
+    progress: jnp.ndarray          # ()
+    target_position: jnp.ndarray   # (2,)
+    max_action: jnp.ndarray        # (3,)
+    max_acceleration: jnp.ndarray  # (3,)
+    reference_velocity: jnp.ndarray  # ()
+    obs_xy: jnp.ndarray            # (K, 2)
+    obs_r: jnp.ndarray             # (K,)
+    obs_mask: jnp.ndarray          # (K,) bool
+    sensor_dist: jnp.ndarray       # (R,) last raycast distances
+    step_count: jnp.ndarray        # () int32
+
+
+def _sensor_sweep(cfg: SimpleEnvConfig, state: SimpleEnvState):
+    """Boundary distances + raycast — reference :203-226.
+
+    Returns (min boundary distance, per-ray distances).
+    """
+    n = state.obs_xy - state.position[:2]
+    boundary = jnp.hypot(n[..., 0], n[..., 1]) - state.obs_r
+    masked_boundary = jnp.where(state.obs_mask, boundary, jnp.inf)
+
+    if cfg.strict_compat_raycast:
+        dist = raycast_first_hit_compat(
+            state.position, state.obs_xy, state.obs_r, state.obs_mask,
+            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
+            boundary_distance=boundary,
+        )
+    else:
+        dist = raycast(
+            state.position, state.obs_xy, state.obs_r, state.obs_mask,
+            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
+        )
+
+    if cfg.ignore_obstacles:
+        # reference :222-224: distances forced clear
+        return jnp.asarray(1.0, dist.dtype), jnp.full_like(dist, cfg.sensor_max_range)
+    return jnp.min(masked_boundary), dist
+
+
+def _angle_to_target(state: SimpleEnvState):
+    delta = state.target_position - state.position[:2]
+    return wrap_angle(jnp.arctan2(delta[1], delta[0]) - state.position[2])
+
+
+def _target_state(cfg: SimpleEnvConfig, state: SimpleEnvState):
+    """[angle, distance, ye, ref_vel] / norms — reference :72-80."""
+    distance = jnp.hypot(
+        state.position[0] - state.target_position[0],
+        state.position[1] - state.target_position[1],
+    )
+    angle = _angle_to_target(state)
+    ye = cross_track_error(state.position[:2], state.path_start, state.path_end)
+    norm = jnp.asarray(
+        [np.pi, float(np.hypot(cfg.env_bound, cfg.env_bound)), 10.0, 10.0],
+        dtype=jnp.float32,
+    )
+    return jnp.stack([angle, distance, ye, state.reference_velocity]) / norm
+
+
+def observe(cfg: SimpleEnvConfig, state: SimpleEnvState, action3) -> jnp.ndarray:
+    """Build the (15 + R,) observation — reference ``_get_obs`` :91-96."""
+    sensor_state = state.sensor_dist / cfg.sensor_max_range
+    target_state = _target_state(cfg, state)
+    action_state = action3[jnp.asarray([0, 2])] / state.max_action[jnp.asarray([0, 2])]
+    kinem = jnp.concatenate([state.max_action / 10.0, state.max_acceleration / 10.0])
+    return jnp.concatenate(
+        [state.velocity / 10.0, target_state, action_state, kinem, sensor_state]
+    ).astype(jnp.float32)
+
+
+def compute_reward(cfg: SimpleEnvConfig, state: SimpleEnvState, action3):
+    """Dense shaped reward — reference ``_get_reward`` :150-201.
+
+    Only the *effective* terms survive here; the reference's dead overwrites
+    are resolved to their final values (ye: max-of-exponentials form :167-170;
+    delta_action: linear form :176; angle_action: zero :178).
+    """
+    min_sensor = jnp.min(state.sensor_dist)
+    colision_reward = jnp.where(
+        (min_sensor < cfg.collision_sensor_threshold) & (not cfg.ignore_obstacles),
+        cfg.collision_penalty,
+        0.0,
+    )
+
+    delta_action = jnp.abs(state.last_action - action3)
+    angle = _angle_to_target(state)
+    ye = cross_track_error(state.position[:2], state.path_start, state.path_end)
+
+    ye_reward = jnp.maximum(
+        jnp.exp(-jnp.abs(ye / cfg.ye_k)),
+        jnp.exp(-jnp.square(ye / cfg.ye_k)),
+    )
+    angle_to_target_reward = jnp.exp(-jnp.abs(angle))
+    delta_action_reward = -(jnp.sum(delta_action) / 2.0) * 0.15
+    velocity_track_reward = (
+        jnp.exp(
+            -jnp.abs(
+                jnp.hypot(state.velocity[0], state.velocity[1])
+                - state.reference_velocity
+            )
+        )
+        * 0.05
+    )
+
+    reward = (
+        colision_reward
+        + ye_reward
+        + angle_to_target_reward
+        + velocity_track_reward
+        + delta_action_reward
+    )
+    reward_info = {
+        "ye_reward": ye_reward,
+        "angle_to_target_reward": angle_to_target_reward,
+        "angle_action_reward": jnp.zeros_like(ye_reward),  # zeroed, ref :178
+        "delta_action_reward": delta_action_reward,
+        "delta_action": jnp.sum(delta_action),
+        "velocity_track_reward": velocity_track_reward,
+        "reference_velocity": state.reference_velocity,
+        "reward_velocity": state.last_action[0],
+        "reference_velocity_error": state.last_action[0] - state.reference_velocity,
+    }
+    return reward, reward_info
+
+
+def _info(cfg: SimpleEnvConfig, state: SimpleEnvState, reward, action3):
+    """Fixed-shape analog of reference ``_get_info`` :102-115."""
+    return {
+        "position": state.position,
+        "velocity": state.velocity,
+        "path_start": state.path_start,
+        "path_end": state.path_end,
+        "reward": reward,
+        "action0": action3[0],
+        "action1": action3[2],
+        "left_thruster": jnp.zeros(()),
+        "right_thruster": jnp.zeros(()),
+        "ye": cross_track_error(state.position[:2], state.path_start, state.path_end),
+        "angle_to_target": _target_state(cfg, state)[0],
+    }
+
+
+def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
+    """Domain-randomized reset — reference ``reset`` :228-308, on-device.
+
+    Distributions match the reference; draws use independent jax.random
+    folds rather than a serial NumPy stream.
+    """
+    keys = jax.random.split(key, 12)
+    half = cfg.env_bound / 2.0
+
+    path_start = jax.random.normal(keys[0], (2,)) * 0.5 + half
+    heading = jax.random.uniform(keys[1], minval=-np.pi, maxval=np.pi)
+    position = jnp.concatenate([path_start, heading[None]])
+
+    angle = jax.random.uniform(keys[2], minval=-np.pi, maxval=np.pi)
+    dist = jax.random.uniform(keys[3], minval=100.0, maxval=110.0)
+    path_end = path_start + jnp.stack([jnp.cos(angle), jnp.sin(angle)]) * dist
+
+    target_position = jax.random.uniform(
+        keys[4], (2,), minval=0.0, maxval=cfg.env_bound
+    )
+    velocity = jax.random.uniform(keys[5], (3,), minval=0.0, maxval=0.15)
+
+    max_action = jax.random.uniform(keys[6], (3,), minval=1.5, maxval=3.0)
+    max_action = max_action.at[2].set(
+        jax.random.uniform(keys[7], minval=3.0, maxval=6.0)
+    )
+    max_action = max_action.at[1].set(0.0)
+    reference_velocity = jax.random.uniform(
+        keys[8], minval=0.75, maxval=max_action[0]
+    )
+    max_acceleration = jnp.asarray([1.75, 0.0, 3.0], dtype=jnp.float32)
+
+    K = cfg.obstacle_cap
+    n_random = K - cfg.path_obstacles
+    obstacle_n = jax.random.randint(keys[9], (), 15, 30)
+    obs_xy = jax.random.uniform(keys[10], (K, 2), minval=0.0, maxval=cfg.env_bound)
+    slot = jnp.arange(K)
+    obs_mask = slot < jnp.minimum(obstacle_n, n_random)
+
+    if cfg.path_obstacles > 0:
+        # reset option 'place_obstacles_on_path' (reference :276-288):
+        # normally-jittered points along the path direction.
+        kp = jax.random.split(keys[11], 3)
+        mag = jax.random.uniform(
+            kp[0], (cfg.path_obstacles,), minval=0.0,
+            maxval=float(np.hypot(cfg.env_bound, cfg.env_bound)),
+        )
+        line = path_start + jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1) * mag[:, None]
+        path_obs = line + jax.random.normal(kp[1], (cfg.path_obstacles, 2))
+        obs_xy = obs_xy.at[n_random:].set(path_obs)
+        obs_mask = obs_mask | (slot >= n_random)
+        radius_key = kp[2]
+    else:
+        radius_key = keys[11]
+
+    obs_r = jax.random.uniform(radius_key, (K,), minval=0.15, maxval=0.5)
+
+    # Invalidate obstacles within 0.5 m of the start or the (sampled) target
+    # (reference :260-268). The path obstacles are exempt in the reference
+    # (placed after the delete pass) — keep that.
+    d_pos = jnp.hypot(obs_xy[:, 0] - position[0], obs_xy[:, 1] - position[1])
+    d_tgt = jnp.hypot(
+        obs_xy[:, 0] - target_position[0], obs_xy[:, 1] - target_position[1]
+    )
+    near = (d_pos < 0.5) | (d_tgt < 0.5)
+    keep = obs_mask & ~(near & (slot < n_random))
+    # "Place one obstacle back in" if everything got deleted (reference :270-274)
+    keep = jnp.where(jnp.any(keep), keep, obs_mask & (slot == 0))
+
+    return SimpleEnvState(
+        key=key,
+        position=position.astype(jnp.float32),
+        velocity=velocity.astype(jnp.float32),
+        last_action=jnp.zeros(3, dtype=jnp.float32),
+        path_start=path_start.astype(jnp.float32),
+        path_end=path_end.astype(jnp.float32),
+        progress=jnp.zeros((), dtype=jnp.float32),
+        target_position=target_position.astype(jnp.float32),
+        max_action=max_action.astype(jnp.float32),
+        max_acceleration=max_acceleration,
+        reference_velocity=reference_velocity.astype(jnp.float32),
+        obs_xy=obs_xy.astype(jnp.float32),
+        obs_r=obs_r.astype(jnp.float32),
+        obs_mask=keep,
+        sensor_dist=jnp.zeros(cfg.sensor_count, dtype=jnp.float32),
+        step_count=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def reset_obs(cfg: SimpleEnvConfig, state: SimpleEnvState) -> jnp.ndarray:
+    """The observation the reference returns from reset (:302): built with a
+    zero action and the pre-step (uniform-sampled) target position."""
+    return observe(cfg, state, jnp.zeros(3, dtype=jnp.float32))
+
+
+def step(
+    cfg: SimpleEnvConfig,
+    state: SimpleEnvState,
+    action,
+    update_position: bool = True,
+):
+    """One 25 Hz env step — reference ``step`` :310-346, same op order.
+
+    ``action`` is (2,) = (dU, dR) in the reference's action space. Returns
+    ``(new_state, TimeStep)``.
+    """
+    action3 = jnp.stack([action[0], jnp.zeros_like(action[0]), action[1]])
+    action3 = state.max_action * action3
+
+    if update_position:
+        action3 = 0.8 * state.last_action + 0.2 * action3
+        delta_v = jnp.clip(
+            action3 - state.velocity, -state.max_acceleration, state.max_acceleration
+        )
+        velocity = jnp.clip(
+            state.velocity + delta_v, -state.max_action, state.max_action
+        )
+        theta = state.position[2]
+        rotated_vel = jnp.stack(
+            [velocity[0] * jnp.cos(theta), velocity[0] * jnp.sin(theta), velocity[2]]
+        )
+        position = state.position + rotated_vel * cfg.dt
+        state = state.replace(position=position, velocity=velocity)
+
+    # Guidance: lookahead'd closest point with monotone progress (:328, :139-148)
+    target_position, progress = closest_point_on_segment(
+        state.position[:2], state.path_start, state.path_end,
+        state.progress, (0.005 / 10.0) * cfg.env_bound,
+    )
+    state = state.replace(target_position=target_position, progress=progress)
+
+    # Sensors (:329)
+    min_boundary, sensor_dist = _sensor_sweep(cfg, state)
+    state = state.replace(sensor_dist=sensor_dist)
+
+    terminated = (min_boundary < 0.05) & (not cfg.ignore_obstacles)
+    truncated = jnp.any(
+        (state.position[:2] > cfg.env_bound) | (state.position[:2] < 0.0)
+    )
+    # TimeLimit (max_episode_steps=500, gym_usv/__init__.py:27)
+    step_count = state.step_count + 1
+    truncated = truncated | (step_count >= cfg.max_episode_steps)
+
+    # Observation uses the PREVIOUS action (reference :338)
+    obs = observe(cfg, state, state.last_action)
+    reward, reward_info = compute_reward(cfg, state, action3)
+    info = _info(cfg, state, reward, action3)
+    info.update(reward_info)
+
+    state = state.replace(last_action=action3, step_count=step_count)
+    return state, TimeStep(
+        obs=obs,
+        reward=reward,
+        terminated=terminated,
+        truncated=truncated,
+        info=info,
+    )

@@ -1,0 +1,2 @@
+from usv_tpu.vector.batch import BatchedEnv
+from usv_tpu.vector.rollout import rollout_scan, throughput
