@@ -1,0 +1,11 @@
+from usv_tpu.compat.gym_adapter import (
+    GymUsvEnv,
+    UsvSimpleEnv,
+    UsvSimpleASMCEnv,
+    UsvSimpleAITSMCEnv,
+    UsvAsmcCaEnv,
+    UsvAsmcEnv,
+    UsvPidEnv,
+    UsvAsmcYeIntEnv,
+    register_gymnasium_envs,
+)

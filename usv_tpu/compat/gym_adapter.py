@@ -1,0 +1,309 @@
+"""Gymnasium adapter: the reference's class/env-ID surface over the
+functional cores.
+
+A user of the reference package (``gym_usv``) interacts through
+``gymnasium.make('usv-simple')`` etc. (gym_usv/__init__.py:3-40) and the env
+classes exported from ``gym_usv.envs`` (envs/__init__.py:1-7). This module
+reproduces that surface 1:1 on top of the jit-compiled functional cores: each
+adapter owns a single-env state pytree, steps it on device, and converts
+observations/rewards to NumPy at the boundary — the same contract SB3 and the
+reference tools expect (5-tuple step for the modern envs, 4-tuple for the
+legacy trio).
+
+Reset ``options`` supported (reference simple_env.py:276-300,
+usv_asmc_ca_env.py:358-372): ``place_obstacles_on_path`` (rebuilds the env
+with that many path obstacles), ``run_custom_experiment``/``experiment`` and
+``obs_x/obs_y/obs_r/target_point/start_position`` (scripted scenes — state
+overrides after reset), ``params`` (AITSMC gains), ``perturb_func``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import gymnasium
+    from gymnasium import spaces
+
+    _HAS_GYMNASIUM = True
+except ImportError:  # pragma: no cover
+    gymnasium = None
+    _HAS_GYMNASIUM = False
+
+from usv_tpu.envs import make as make_functional
+
+
+class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
+    """Generic adapter: one functional env instance behind the gym API."""
+
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 30}
+
+    #: subclasses set these
+    env_id: str = "usv-simple"
+    legacy_api: bool = False  # old-gym 4-tuple step / obs-only reset
+
+    def __init__(self, render_mode: Optional[str] = "rgb_array", options: Optional[dict] = None,
+                 **config_overrides):
+        self.options = options or {}
+        self.render_mode = render_mode
+        self._config_overrides = dict(config_overrides)
+        self._build(self._config_overrides)
+        self._seed_counter = 0
+        self._state = None
+        self._renderer = None
+
+        obs_dim = self.handle.cfg.obs_dim
+        act_dim = self.handle.cfg.action_dim
+        if _HAS_GYMNASIUM:
+            self.observation_space = self._make_observation_space(obs_dim)
+            self.action_space = self._make_action_space(act_dim)
+
+    # -- overridable space definitions ---------------------------------
+
+    def _make_observation_space(self, obs_dim):
+        return spaces.Box(-1.0, 1.0, shape=(obs_dim,), dtype=np.float32)
+
+    def _make_action_space(self, act_dim):
+        return spaces.Box(-1.0, 1.0, shape=(act_dim,), dtype=np.float32)
+
+    # -- machinery ------------------------------------------------------
+
+    def _build(self, overrides):
+        self.handle = make_functional(self.env_id, **overrides)
+        cfg = self.handle.cfg
+        self._jit_reset = jax.jit(lambda k: self.handle.reset(cfg, k))
+        self._jit_reset_obs = jax.jit(lambda s: self.handle.reset_obs(cfg, s))
+        self._jit_step = jax.jit(lambda s, a: self.handle.step(cfg, s, a))
+
+    def _next_key(self, seed):
+        if seed is None:
+            self._seed_counter += 1
+            seed = self._seed_counter + np.random.randint(0, 2**31 - 1)
+        return jax.random.key(seed)
+
+    def _apply_reset_options(self, state, options):
+        """Scripted-scene overrides; subclasses extend."""
+        return state
+
+    # -- gym API --------------------------------------------------------
+
+    def reset(self, seed=None, options=None):
+        options = options or {}
+        if "place_obstacles_on_path" in options and options["place_obstacles_on_path"]:
+            n = int(options["place_obstacles_on_path"])
+            if self._config_overrides.get("path_obstacles") != n:
+                self._config_overrides["path_obstacles"] = n
+                self._build(self._config_overrides)
+        self._state = self._jit_reset(self._next_key(seed))
+        self._state = self._apply_reset_options(self._state, {**self.options, **options})
+        obs = np.asarray(self._jit_reset_obs(self._state))
+        if self.legacy_api:
+            return obs
+        return obs, {}
+
+    def step(self, action):
+        action = jnp.asarray(action, dtype=jnp.float32).reshape(
+            (self.handle.cfg.action_dim,)
+        )
+        self._state, ts = self._jit_step(self._state, action)
+        obs = np.asarray(ts.obs)
+        reward = float(ts.reward)
+        terminated = bool(ts.terminated)
+        truncated = bool(ts.truncated)
+        info = {k: np.asarray(v) for k, v in ts.info.items()}
+        if self.legacy_api:
+            return obs, reward, terminated, info
+        return obs, reward, terminated, truncated, info
+
+    def render(self):
+        frame = self._render_frame()
+        if self.render_mode == "rgb_array":
+            return frame
+        return None
+
+    def _render_frame(self):
+        from usv_tpu.utils.viz import SimpleEnvRenderer
+
+        if self._renderer is None:
+            self._renderer = SimpleEnvRenderer(render_mode=self.render_mode)
+        return self._renderer.render_state(self.handle.cfg, self._state)
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+            self._renderer = None
+
+
+class UsvSimpleEnv(GymUsvEnv):
+    """Adapter for reference ``UsvSimpleEnv`` (simple_env.py:7-349)."""
+
+    env_id = "usv-simple"
+
+    def _make_action_space(self, act_dim):
+        # dU in [0.2, 1], dR in [-1, 1] (reference simple_env.py:30)
+        return spaces.Box(
+            np.array([0.2, -1.0], np.float32), np.array([1.0, 1.0], np.float32),
+            shape=(2,), dtype=np.float32,
+        )
+
+    def _apply_reset_options(self, state, options):
+        if options.get("run_custom_experiment"):
+            exp = options["experiment"]
+            cap = self.handle.cfg.obstacle_cap
+            n = len(exp["obstacle_radius"])
+            obs_xy = np.zeros((cap, 2), np.float32)
+            obs_r = np.full((cap,), 0.1, np.float32)
+            mask = np.zeros((cap,), bool)
+            obs_xy[:n] = np.asarray(exp["obstacle_positions"], np.float32)[:cap]
+            obs_r[:n] = np.asarray(exp["obstacle_radius"], np.float32)[:cap]
+            mask[:n] = True
+            path_start = np.asarray(exp["path_start"], np.float32)
+            angle = float(exp["angle"])
+            path_end = path_start + np.array(
+                [np.cos(angle), np.sin(angle)], np.float32
+            ) * 100.0
+            state = state.replace(
+                obs_xy=jnp.asarray(obs_xy),
+                obs_r=jnp.asarray(obs_r),
+                obs_mask=jnp.asarray(mask),
+                path_start=jnp.asarray(path_start),
+                path_end=jnp.asarray(path_end),
+                position=jnp.asarray(np.asarray(exp["position"], np.float32)),
+            )
+        return state
+
+
+class UsvSimpleASMCEnv(UsvSimpleEnv):
+    env_id = "usv-asmc-simple"
+
+
+class UsvSimpleAITSMCEnv(UsvSimpleEnv):
+    """Adapter for ``UsvSimpleAITSMCEnv`` (simple_env_aitsmc.py).
+
+    ``options['params']`` (AITSMC gains) and ``options['perturb_func']``
+    become config-level settings; a python ``perturb_func`` is wrapped so it
+    must be jnp-traceable (pure function of the step index).
+    """
+
+    env_id = "usv-aitsmc-simple"
+
+    def __init__(self, render_mode=None, options=None, **config_overrides):
+        options = options or {}
+        if "perturb_func" in options:
+            config_overrides.setdefault("perturb_fn", options["perturb_func"])
+        self._aitsmc_params = options.get("params")
+        super().__init__(render_mode=render_mode, options=options, **config_overrides)
+
+    def step(self, action):
+        if self._aitsmc_params is not None:
+            action = jnp.asarray(action, dtype=jnp.float32).reshape((2,))
+            self._state, ts = jax.jit(
+                lambda s, a: self.handle.step(
+                    self.handle.cfg, s, a, gains=self._aitsmc_params
+                )
+            )(self._state, action)
+            return (
+                np.asarray(ts.obs), float(ts.reward),
+                bool(ts.terminated), bool(ts.truncated),
+                {k: np.asarray(v) for k, v in ts.info.items()},
+            )
+        return super().step(action)
+
+
+class UsvAsmcCaEnv(GymUsvEnv):
+    """Adapter for ``UsvAsmcCaEnv`` (usv_asmc_ca_env.py:21-519)."""
+
+    env_id = "usv-asmc-ca-v0"
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 60}
+
+    def _apply_reset_options(self, state, options):
+        updates = {}
+        if "obs_x" in options:
+            cap = self.handle.cfg.obstacle_cap
+            ox = np.asarray(options["obs_x"], np.float32).reshape(-1)[:cap]
+            oy = np.asarray(options["obs_y"], np.float32).reshape(-1)[:cap]
+            orr = np.asarray(options["obs_r"], np.float32).reshape(-1)[:cap]
+            n = len(ox)
+            obs_xy = np.zeros((cap, 2), np.float32)
+            obs_r = np.full((cap,), 1.0, np.float32)
+            mask = np.zeros((cap,), bool)
+            obs_xy[:n, 0] = ox
+            obs_xy[:n, 1] = oy
+            obs_r[:n] = orr
+            mask[:n] = True
+            updates.update(
+                obs_xy=jnp.asarray(obs_xy), obs_r=jnp.asarray(obs_r),
+                obs_mask=jnp.asarray(mask),
+            )
+        if "target_point" in options:
+            updates["target_point"] = jnp.asarray(
+                np.asarray(options["target_point"], np.float32)[:2]
+            )
+        if "start_position" in options:
+            pose = jnp.asarray(np.asarray(options["start_position"], np.float32))
+            updates["dyn"] = state.dyn.replace(pose=pose)
+        if updates:
+            state = state.replace(**updates)
+            # re-run the bootstrap step on the scripted scene (reference :402)
+            state, _ = self._jit_step(
+                state, jnp.asarray([-1.0, 0.0], jnp.float32)
+            )
+            state = state.replace(step_count=jnp.zeros((), jnp.int32))
+        return state
+
+    def _render_frame(self):
+        from usv_tpu.utils.viz import CaEnvRenderer
+
+        if self._renderer is None:
+            self._renderer = CaEnvRenderer(render_mode=self.render_mode)
+        return self._renderer.render_state(self.handle.cfg, self._state)
+
+
+class UsvAsmcEnv(GymUsvEnv):
+    """Adapter for legacy ``UsvAsmcEnv`` (old-gym API)."""
+
+    env_id = "usv-asmc-v0"
+    legacy_api = True
+
+    def _make_action_space(self, act_dim):
+        return spaces.Box(
+            -np.pi / 2, np.pi / 2, shape=(1,), dtype=np.float32
+        )
+
+
+class UsvPidEnv(UsvAsmcEnv):
+    env_id = "usv-pid-v0"
+
+
+class UsvAsmcYeIntEnv(UsvAsmcEnv):
+    env_id = "usv-asmc-ye-int-v0"
+
+
+def register_gymnasium_envs(prefix: str = ""):
+    """Register the 7 reference env IDs with gymnasium
+    (mirrors gym_usv/__init__.py:3-40, incl. max_episode_steps)."""
+    if not _HAS_GYMNASIUM:
+        raise ImportError("gymnasium is not available")
+    specs = [
+        ("usv-asmc-v0", UsvAsmcEnv, None),
+        ("usv-pid-v0", UsvPidEnv, None),
+        ("usv-asmc-ye-int-v0", UsvAsmcYeIntEnv, None),
+        ("usv-asmc-ca-v0", UsvAsmcCaEnv, 5000),
+        ("usv-simple", UsvSimpleEnv, 500),
+        ("usv-asmc-simple", UsvSimpleASMCEnv, 1000),
+        ("usv-aitsmc-simple", UsvSimpleAITSMCEnv, 150),
+    ]
+    for env_id, cls, max_steps in specs:
+        full_id = prefix + env_id
+        if full_id in gymnasium.registry:
+            continue
+        gymnasium.register(
+            id=full_id,
+            entry_point=f"{cls.__module__}:{cls.__name__}",
+            max_episode_steps=max_steps,
+        )

@@ -1,0 +1,64 @@
+"""Device-resident replay buffer.
+
+The SB3 SAC buffer the reference relies on (400k transitions,
+``config.py:21``) lives in host RAM with NumPy copies per sample; here the
+buffer is a pytree of preallocated device arrays — insertion is a wrap-around
+scatter and sampling an indexed gather inside the same jit as the learner
+update, so no transition ever crosses the host boundary.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayBuffer:
+    obs: jnp.ndarray        # (cap, obs_dim)
+    action: jnp.ndarray     # (cap, act_dim)
+    reward: jnp.ndarray     # (cap,)
+    next_obs: jnp.ndarray   # (cap, obs_dim)
+    done: jnp.ndarray       # (cap,)  1.0 where terminated (not truncated)
+    ptr: jnp.ndarray        # () int32 next write position
+    size: jnp.ndarray      # () int32 current fill
+
+
+def buffer_init(capacity: int, obs_dim: int, act_dim: int, dtype=jnp.float32):
+    return ReplayBuffer(
+        obs=jnp.zeros((capacity, obs_dim), dtype),
+        action=jnp.zeros((capacity, act_dim), dtype),
+        reward=jnp.zeros((capacity,), dtype),
+        next_obs=jnp.zeros((capacity, obs_dim), dtype),
+        done=jnp.zeros((capacity,), dtype),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done):
+    """Insert B transitions at the write head (wrap-around)."""
+    cap = buf.obs.shape[0]
+    b = obs.shape[0]
+    idx = (buf.ptr + jnp.arange(b)) % cap
+    return buf.replace(
+        obs=buf.obs.at[idx].set(obs),
+        action=buf.action.at[idx].set(action),
+        reward=buf.reward.at[idx].set(reward),
+        next_obs=buf.next_obs.at[idx].set(next_obs),
+        done=buf.done.at[idx].set(done.astype(buf.done.dtype)),
+        ptr=(buf.ptr + b) % cap,
+        size=jnp.minimum(buf.size + b, cap),
+    )
+
+
+def buffer_sample(buf: ReplayBuffer, key, batch_size: int):
+    idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buf.size, 1))
+    return dict(
+        obs=buf.obs[idx],
+        action=buf.action[idx],
+        reward=buf.reward[idx],
+        next_obs=buf.next_obs[idx],
+        done=buf.done[idx],
+    )

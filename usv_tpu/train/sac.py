@@ -1,0 +1,369 @@
+"""SAC learner with CAPS action-smoothness regularization.
+
+Re-implements the training capability of the reference's patched SB3 SAC
+(``train_test/config.py:17-37``): twin critics, auto-tuned entropy
+temperature, soft target updates, ``train_freq = gradient_steps = 8``,
+400x300 nets, lr 1e-4, buffer 400k, batch 256, learning_starts 50k — plus the
+CAPS smoothness terms implied by ``lambda_t/lambda_s/eps_s`` (config.py:34-36;
+CAPS = "Regularizing Action Policies for Smooth Control", Mysore et al.):
+
+    L_T = lambda_t * E ||pi(s_t) - pi(s_{t+1})||^2        (temporal)
+    L_S = lambda_s * E ||pi(s) - pi(s~)||^2, s~ ~ N(s, eps_s)  (spatial)
+
+TPU-first design: the entire {collect train_freq env steps -> gradient_steps
+updates} cycle is ONE jitted program (``train_rounds`` runs many cycles under
+``lax.scan``), so a training run is a handful of device dispatches regardless
+of length — environment, replay buffer, and learner never leave the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from usv_tpu.envs.autoreset import make_autoreset_step
+from usv_tpu.envs.registry import EnvHandle
+from usv_tpu.models.mlp import DoubleCritic, SquashedGaussianActor
+from usv_tpu.train.buffer import (
+    ReplayBuffer,
+    buffer_add_batch,
+    buffer_init,
+    buffer_sample,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SacConfig:
+    # SB3-matching hyperparameters (train_test/config.py:17-37)
+    buffer_size: int = 400_000
+    batch_size: int = 256
+    learning_rate: float = 1e-4
+    gamma: float = 0.99
+    tau: float = 0.005          # SB3 default (config passes none)
+    train_freq: int = 8
+    gradient_steps: int = 8
+    learning_starts: int = 50_000
+    hidden: Tuple[int, int] = (400, 300)
+    log_std_init: float = -3.0
+    # CAPS smoothness (config.py:34-36)
+    lambda_t: float = 10.0
+    lambda_s: float = 5.0
+    eps_s: float = 0.1
+    # vector-env setup
+    num_envs: int = 64
+    frame_stack: int = 5        # FrameStack(5), sb3_train.py:51
+    # action space of the simple envs (simple_env.py:30)
+    action_low: Tuple[float, ...] = (0.2, -1.0)
+    action_high: Tuple[float, ...] = (1.0, 1.0)
+
+
+@struct.dataclass
+class SacTrainState:
+    actor_params: dict
+    critic_params: dict
+    target_critic_params: dict
+    log_alpha: jnp.ndarray
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+    alpha_opt: optax.OptState
+    buffer: ReplayBuffer
+    env_state: object           # vmapped env-state pytree
+    frames: jnp.ndarray         # (B, S, obs_dim) rolling stack
+    obs: jnp.ndarray            # (B, S*obs_dim) current stacked obs
+    key: jnp.ndarray
+    env_steps: jnp.ndarray      # () int64-ish counter (int32)
+    grad_steps: jnp.ndarray
+
+
+class SacLearner:
+    """Actor-learner bound to one env family (fully on-device)."""
+
+    def __init__(self, handle: EnvHandle, config: SacConfig = SacConfig()):
+        self.handle = handle
+        self.cfg = config
+        env_cfg = handle.cfg
+        self.obs_dim = env_cfg.obs_dim * max(1, config.frame_stack)
+        self.act_dim = env_cfg.action_dim
+
+        self.actor = SquashedGaussianActor(
+            action_dim=self.act_dim,
+            hidden=config.hidden,
+            log_std_init=config.log_std_init,
+            action_low=config.action_low,
+            action_high=config.action_high,
+        )
+        self.critic = DoubleCritic(hidden=config.hidden)
+        self.target_entropy = -float(self.act_dim)  # SB3 'auto'
+
+        self.actor_tx = optax.adam(config.learning_rate)
+        self.critic_tx = optax.adam(config.learning_rate)
+        self.alpha_tx = optax.adam(config.learning_rate)
+
+        self._auto_step = jax.vmap(
+            make_autoreset_step(
+                env_cfg, handle.step, handle.reset, handle.reset_obs
+            )
+        )
+        self._jit_init = jax.jit(self._init_impl)
+        self._jit_rounds = {}
+
+    # ------------------------------------------------------------------ init
+
+    def _init_impl(self, key) -> SacTrainState:
+        cfg = self.cfg
+        k_actor, k_critic, k_env, key = jax.random.split(key, 4)
+        dummy_obs = jnp.zeros((1, self.obs_dim))
+        dummy_act = jnp.zeros((1, self.act_dim))
+        actor_params = self.actor.init(k_actor, dummy_obs)
+        critic_params = self.critic.init(k_critic, dummy_obs, dummy_act)
+
+        env_keys = jax.random.split(k_env, cfg.num_envs)
+        env_state = jax.vmap(lambda k: self.handle.reset(self.handle.cfg, k))(env_keys)
+        obs0 = jax.vmap(lambda s: self.handle.reset_obs(self.handle.cfg, s))(env_state)
+        frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
+
+        return SacTrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=critic_params,
+            log_alpha=jnp.zeros(()),
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            alpha_opt=self.alpha_tx.init(jnp.zeros(())),
+            buffer=buffer_init(cfg.buffer_size, self.obs_dim, self.act_dim),
+            env_state=env_state,
+            frames=frames,
+            obs=frames.reshape(cfg.num_envs, -1),
+            key=key,
+            env_steps=jnp.zeros((), jnp.int32),
+            grad_steps=jnp.zeros((), jnp.int32),
+        )
+
+    def init(self, seed: int = 0) -> SacTrainState:
+        return self._jit_init(jax.random.key(seed))
+
+    # ----------------------------------------------------------- collection
+
+    def _policy_action(self, ts: SacTrainState, obs, key, random_phase):
+        """Random uniform during warmup, else squashed-Gaussian sample."""
+        low = jnp.asarray(self.cfg.action_low)
+        high = jnp.asarray(self.cfg.action_high)
+        k1, k2 = jax.random.split(key)
+        rand = jax.random.uniform(
+            k1, (obs.shape[0], self.act_dim), minval=low, maxval=high
+        )
+        sampled, _, _ = self.actor.sample(ts.actor_params, obs, k2)
+        return jnp.where(random_phase, rand, sampled)
+
+    def _env_cycle(self, ts: SacTrainState, key):
+        """train_freq env steps on all envs, inserting into the buffer."""
+        cfg = self.cfg
+
+        def one_step(carry, step_key):
+            env_state, frames, obs, buffer, env_steps = carry
+            random_phase = env_steps * cfg.num_envs < cfg.learning_starts
+            actions = self._policy_action(ts, obs, step_key, random_phase)
+            env_state, step_ts = self._auto_step(env_state, actions)
+
+            new_frames = jnp.concatenate(
+                [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
+            )
+            done = step_ts.done[:, None, None]
+            new_frames = jnp.where(
+                done,
+                jnp.tile(step_ts.obs[:, None, :], (1, frames.shape[1], 1)),
+                new_frames,
+            )
+            # next_obs for the buffer: terminal obs continuation (frames
+            # shifted with the terminal observation, not the reset one)
+            terminal_frames = jnp.concatenate(
+                [frames[:, 1:, :], step_ts.info["terminal_observation"][:, None, :]],
+                axis=1,
+            )
+            next_obs_flat = terminal_frames.reshape(obs.shape[0], -1)
+            buffer = buffer_add_batch(
+                buffer, obs, actions, step_ts.reward, next_obs_flat,
+                step_ts.terminated.astype(jnp.float32),
+            )
+            new_obs = new_frames.reshape(obs.shape[0], -1)
+            return (
+                (env_state, new_frames, new_obs, buffer, env_steps + 1),
+                jnp.sum(step_ts.reward),
+            )
+
+        keys = jax.random.split(key, cfg.train_freq)
+        (env_state, frames, obs, buffer, env_steps), rewards = jax.lax.scan(
+            one_step,
+            (ts.env_state, ts.frames, ts.obs, ts.buffer, ts.env_steps),
+            keys,
+        )
+        ts = ts.replace(
+            env_state=env_state, frames=frames, obs=obs,
+            buffer=buffer, env_steps=env_steps,
+        )
+        return ts, jnp.sum(rewards)
+
+    # -------------------------------------------------------------- updates
+
+    def _critic_loss(self, critic_params, ts: SacTrainState, batch, key):
+        cfg = self.cfg
+        next_action, next_logp, _ = self.actor.sample(
+            ts.actor_params, batch["next_obs"], key
+        )
+        q1_t, q2_t = self.critic.apply(
+            ts.target_critic_params, batch["next_obs"], next_action
+        )
+        alpha = jnp.exp(ts.log_alpha)
+        target_v = jnp.minimum(q1_t, q2_t) - alpha * next_logp
+        target_q = batch["reward"] + cfg.gamma * (1.0 - batch["done"]) * target_v
+        target_q = jax.lax.stop_gradient(target_q)
+        q1, q2 = self.critic.apply(critic_params, batch["obs"], batch["action"])
+        return 0.5 * (
+            jnp.mean(jnp.square(q1 - target_q))
+            + jnp.mean(jnp.square(q2 - target_q))
+        )
+
+    def _actor_loss(self, actor_params, ts: SacTrainState, batch, key):
+        cfg = self.cfg
+        k_sample, k_spatial = jax.random.split(key)
+        action, logp, _mean_action = self.actor.sample(
+            actor_params, batch["obs"], k_sample
+        )
+        q1, q2 = self.critic.apply(ts.critic_params, batch["obs"], action)
+        alpha = jax.lax.stop_gradient(jnp.exp(ts.log_alpha))
+        sac_loss = jnp.mean(alpha * logp - jnp.minimum(q1, q2))
+
+        # CAPS (config.py:34-36). Temporal: consecutive-state mean actions;
+        # spatial: mean action under observation noise of scale eps_s.
+        mu_s = self.actor.deterministic(actor_params, batch["obs"])
+        mu_next = self.actor.deterministic(actor_params, batch["next_obs"])
+        noisy_obs = batch["obs"] + cfg.eps_s * jax.random.normal(
+            k_spatial, batch["obs"].shape
+        )
+        mu_noisy = self.actor.deterministic(actor_params, noisy_obs)
+        caps_t = jnp.mean(jnp.sum(jnp.square(mu_s - mu_next), axis=-1))
+        caps_s = jnp.mean(jnp.sum(jnp.square(mu_s - mu_noisy), axis=-1))
+        loss = sac_loss + cfg.lambda_t * caps_t + cfg.lambda_s * caps_s
+        return loss, (jnp.mean(logp), sac_loss, caps_t, caps_s)
+
+    def _update_once(self, ts: SacTrainState, key):
+        cfg = self.cfg
+        k_batch, k_critic, k_actor, k_next = jax.random.split(key, 4)
+        batch = buffer_sample(ts.buffer, k_batch, cfg.batch_size)
+
+        critic_grads = jax.grad(self._critic_loss)(
+            ts.critic_params, ts, batch, k_critic
+        )
+        c_updates, critic_opt = self.critic_tx.update(
+            critic_grads, ts.critic_opt, ts.critic_params
+        )
+        critic_params = optax.apply_updates(ts.critic_params, c_updates)
+        ts = ts.replace(critic_params=critic_params, critic_opt=critic_opt)
+
+        (_, (mean_logp, _, _, _)), actor_grads = jax.value_and_grad(
+            self._actor_loss, has_aux=True
+        )(ts.actor_params, ts, batch, k_actor)
+        a_updates, actor_opt = self.actor_tx.update(
+            actor_grads, ts.actor_opt, ts.actor_params
+        )
+        actor_params = optax.apply_updates(ts.actor_params, a_updates)
+
+        # temperature (auto entropy tuning)
+        def alpha_loss(log_alpha):
+            return -log_alpha * jax.lax.stop_gradient(
+                mean_logp + self.target_entropy
+            )
+
+        al_grad = jax.grad(alpha_loss)(ts.log_alpha)
+        al_updates, alpha_opt = self.alpha_tx.update(
+            al_grad, ts.alpha_opt, ts.log_alpha
+        )
+        log_alpha = optax.apply_updates(ts.log_alpha, al_updates)
+
+        target = jax.tree.map(
+            lambda t, o: (1.0 - cfg.tau) * t + cfg.tau * o,
+            ts.target_critic_params, critic_params,
+        )
+        return ts.replace(
+            actor_params=actor_params, actor_opt=actor_opt,
+            log_alpha=log_alpha, alpha_opt=alpha_opt,
+            target_critic_params=target,
+            grad_steps=ts.grad_steps + 1,
+        )
+
+    # ----------------------------------------------------------- train loop
+
+    def _rounds_impl(self, ts: SacTrainState, n_rounds: int):
+        cfg = self.cfg
+
+        def one_round(ts: SacTrainState, _):
+            key, k_collect, k_update = jax.random.split(ts.key, 3)
+            ts = ts.replace(key=key)
+            ts, reward_sum = self._env_cycle(ts, k_collect)
+
+            past_warmup = ts.env_steps * cfg.num_envs >= cfg.learning_starts
+
+            def do_updates(ts):
+                def body(ts, uk):
+                    return self._update_once(ts, uk), None
+                ts, _ = jax.lax.scan(
+                    body, ts, jax.random.split(k_update, cfg.gradient_steps)
+                )
+                return ts
+
+            ts = jax.lax.cond(past_warmup, do_updates, lambda t: t, ts)
+            return ts, reward_sum
+
+        ts, rewards = jax.lax.scan(one_round, ts, None, length=n_rounds)
+        return ts, jnp.sum(rewards)
+
+    def train_rounds(self, ts: SacTrainState, n_rounds: int):
+        """Run n_rounds x {train_freq env steps + gradient_steps updates}
+        as one device program. Returns (state, summed reward)."""
+        if n_rounds not in self._jit_rounds:
+            self._jit_rounds[n_rounds] = jax.jit(
+                partial(self._rounds_impl, n_rounds=n_rounds),
+                donate_argnums=(0,),
+            )
+        return self._jit_rounds[n_rounds](ts)
+
+    # ----------------------------------------------------------- evaluation
+
+    def eval_policy(self, ts: SacTrainState, n_steps: int = 500, num_envs: int = 16):
+        """Deterministic-policy rollout; returns mean reward per step."""
+        cfg = self.cfg
+        handle = self.handle
+
+        @jax.jit
+        def run(actor_params, key):
+            env_keys = jax.random.split(key, num_envs)
+            env_state = jax.vmap(lambda k: handle.reset(handle.cfg, k))(env_keys)
+            obs0 = jax.vmap(lambda s: handle.reset_obs(handle.cfg, s))(env_state)
+            frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
+
+            def body(carry, _):
+                env_state, frames = carry
+                obs = frames.reshape(num_envs, -1)
+                actions = self.actor.deterministic(actor_params, obs)
+                env_state, step_ts = self._auto_step(env_state, actions)
+                new_frames = jnp.concatenate(
+                    [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
+                )
+                done = step_ts.done[:, None, None]
+                new_frames = jnp.where(
+                    done,
+                    jnp.tile(step_ts.obs[:, None, :], (1, frames.shape[1], 1)),
+                    new_frames,
+                )
+                return (env_state, new_frames), jnp.mean(step_ts.reward)
+
+            _, rewards = jax.lax.scan(body, (env_state, frames), None, length=n_steps)
+            return jnp.mean(rewards)
+
+        return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))

@@ -1,0 +1,6 @@
+from usv_tpu.utils.path_gen import (
+    generate_path,
+    place_obstacles,
+    simplified_lookahead,
+)
+from usv_tpu.utils.live_filter import LiveLFilter, iir_filter_scan
