@@ -8,7 +8,11 @@ Replicated semantics: sideslip-compensated, atan2-wrapped heading setpoint
 backward-difference derivative of the speed error (:117-118), thruster clip to
 ±30 (:128-129), and the perturbation force being computed but **not** applied
 (:167 — the ``T += perturb_force`` line is commented out in the reference; we
-therefore never apply it here either).
+therefore never apply it here either), and ``e_u_last`` never being updated
+(the reference packs it back unchanged — grep shows no ``e_u_last = e_u`` in
+usv_pid.py, unlike usv_asmc.py:130 — so the speed-error integral is a
+trapezoid against zero and the derivative is ``e_u/dt``; replicated via the
+``freeze_e_u_last`` compat flag, default on).
 """
 
 from __future__ import annotations
@@ -36,6 +40,8 @@ class PidGains:
     kp_psi: float = 22.625
     kd_psi: float = 10.0
     thrust_limit: float = 30.0
+    # Reference quirk: e_u_last is never written back (see module docstring).
+    freeze_e_u_last: bool = True
 
 
 @struct.dataclass
@@ -92,7 +98,8 @@ def pid_control(
         gains.thrust_limit,
     )
 
-    new_state = PidState(e_u_last=e_u, e_u_int=e_u_int)
+    new_e_u_last = state.e_u_last if gains.freeze_e_u_last else e_u
+    new_state = PidState(e_u_last=new_e_u_last, e_u_int=e_u_int)
     debug = {
         "psi_d": psi_d, "e_psi": e_psi, "e_u": e_u, "u_d": u_d,
         "tport": tport, "tstbd": tstbd,
