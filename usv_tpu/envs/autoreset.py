@@ -22,6 +22,19 @@ import jax.numpy as jnp
 from usv_tpu.envs.types import TimeStep
 
 
+def _get_key(state):
+    """Env states either carry ``key`` directly or wrap a base that does."""
+    if hasattr(state, "key"):
+        return state.key
+    return state.base.key
+
+
+def _set_key(state, key):
+    if hasattr(state, "key"):
+        return state.replace(key=key)
+    return state.replace(base=state.base.replace(key=key))
+
+
 def _select(done, new, old):
     """Pytree select: pick ``new`` where done (broadcast over leading axis)."""
 
@@ -48,11 +61,10 @@ def make_autoreset_step(
         new_state, ts = step_fn(cfg, state, action)
         done = ts.done
 
-        next_key, reset_key = jax.random.split(new_state.key)
-        fresh = reset_fn(cfg, reset_key)
-        fresh = fresh.replace(key=next_key)
+        next_key, reset_key = jax.random.split(_get_key(new_state))
+        fresh = _set_key(reset_fn(cfg, reset_key), next_key)
 
-        out_state = _select(done, fresh, new_state.replace(key=next_key))
+        out_state = _select(done, fresh, _set_key(new_state, next_key))
         obs = jnp.where(done, reset_obs_fn(cfg, fresh), ts.obs)
         info = dict(ts.info)
         info["terminal_observation"] = ts.obs

@@ -1,0 +1,114 @@
+"""Policy evaluation + controller-trace diagnostics.
+
+Reproduces the reference's evaluation-as-test workflow (SURVEY.md §4: the
+notebooks roll out a trained policy and inspect reward decomposition,
+controller errors e_u/e_r, adaptive gains Ka_u/Ka_r, cross-track error,
+thrusters, and trajectory-vs-path — ``plot_agent_aitsmc_vec.ipynb``). Here
+the rollout runs on device and the 8-panel figure is produced by matplotlib
+from the fixed-shape info traces.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usv_tpu.envs.autoreset import make_autoreset_step
+from usv_tpu.envs.registry import EnvHandle
+
+
+def rollout_with_info(
+    handle: EnvHandle,
+    policy_fn: Callable,
+    n_steps: int = 1000,
+    seed: int = 0,
+    frame_stack: int = 0,
+):
+    """Single-env on-device rollout collecting the full info trace.
+
+    policy_fn(obs) -> action (deterministic). Returns dict of stacked (T, ...)
+    arrays: obs, reward, done + every info field.
+    """
+    cfg = handle.cfg
+    auto = make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+
+    @jax.jit
+    def run(key):
+        state = handle.reset(cfg, key)
+        obs0 = handle.reset_obs(cfg, state)
+        if frame_stack:
+            frames0 = jnp.tile(obs0[None, :], (frame_stack, 1))
+        else:
+            frames0 = obs0[None, :]
+
+        def body(carry, _):
+            state, frames = carry
+            obs_in = frames.reshape(-1)
+            action = policy_fn(obs_in)
+            state, ts = auto(state, action)
+            new_frames = jnp.concatenate([frames[1:], ts.obs[None, :]], axis=0)
+            new_frames = jnp.where(ts.done, jnp.tile(ts.obs[None, :], (frames.shape[0], 1)), new_frames)
+            out = {"obs": ts.obs, "reward": ts.reward, "done": ts.done, **ts.info}
+            return (state, new_frames), out
+
+        _, trace = jax.lax.scan(body, (state, frames0), None, length=n_steps)
+        return trace
+
+    trace = run(jax.random.key(seed))
+    return {k: np.asarray(v) for k, v in trace.items()}
+
+
+def plot_diagnostics(trace: dict, out_path: Optional[str] = None, dt: float = 1 / 25):
+    """8-panel controller/reward diagnostics (notebook cells 6-8 equivalent)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.arange(len(trace["reward"])) * dt
+    fig, axes = plt.subplots(4, 2, figsize=(14, 14))
+
+    def maybe(ax, keys, title, labels=None):
+        plotted = False
+        for i, k in enumerate(keys):
+            if k in trace:
+                ax.plot(t, trace[k], label=(labels[i] if labels else k))
+                plotted = True
+        ax.set_title(title)
+        if plotted:
+            ax.legend(fontsize=8)
+
+    pos = trace.get("position")
+    ax = axes[0][0]
+    if pos is not None:
+        ax.plot(pos[:, 0], pos[:, 1], label="trajectory")
+        if "path_start" in trace:
+            ps, pe = trace["path_start"][0], trace["path_end"][0]
+            ax.plot([ps[0], pe[0]], [ps[1], pe[1]], "--", label="path")
+        ax.set_title("trajectory vs path")
+        ax.legend(fontsize=8)
+
+    maybe(axes[0][1], ["left_thruster", "right_thruster"], "thrusters")
+    maybe(axes[1][0], ["e_u", "e_r"], "controller errors")
+    maybe(axes[1][1], ["Ka_u", "Ka_r"], "adaptive gains")
+    maybe(axes[2][0], ["ye"], "cross-track error")
+    maybe(
+        axes[2][1],
+        ["ye_reward", "angle_to_target_reward", "velocity_track_reward",
+         "delta_action_reward"],
+        "reward decomposition",
+    )
+    maybe(axes[3][0], ["reward"], "total reward")
+    maybe(axes[3][1], ["setpoint_u", "setpoint_r", "action0", "action1"], "actions/setpoints")
+
+    fig.tight_layout()
+    if out_path:
+        Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out_path, dpi=110)
+        plt.close(fig)
+        return out_path
+    return fig

@@ -1,0 +1,68 @@
+"""PPO training CLI (config_ppo capability path).
+
+Usage:
+    python -m usv_tpu.train.run_ppo --env usv-simple --total-steps 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="usv-simple")
+    p.add_argument("--total-steps", type=float, default=10e6)
+    p.add_argument("--num-envs", type=int, default=16)
+    p.add_argument("--n-steps", type=int, default=2048)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--frame-stack", type=int, default=5)
+    p.add_argument("--logdir", default="runs/ppo")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-every-iters", type=int, default=20)
+    p.add_argument("--ignore-obstacles", action="store_true")
+    args = p.parse_args(argv)
+
+    from usv_tpu.envs import make
+    from usv_tpu.train.checkpoint import save_checkpoint
+    from usv_tpu.train.metrics import MetricLogger
+    from usv_tpu.train.ppo import PpoConfig, PpoLearner
+
+    env_kwargs = {"ignore_obstacles": True} if args.ignore_obstacles else {}
+    handle = make(args.env, **env_kwargs)
+    cfg = PpoConfig(
+        n_steps=args.n_steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        num_envs=args.num_envs,
+        frame_stack=args.frame_stack,
+    )
+    learner = PpoLearner(handle, cfg)
+    ts = learner.init(seed=args.seed)
+    logger = MetricLogger(args.logdir, config=vars(args))
+
+    steps_per_iter = cfg.n_steps * cfg.num_envs
+    it = 0
+    t0 = time.time()
+    while it * steps_per_iter < args.total_steps:
+        ts, mean_reward = learner.train_iteration(ts)
+        it += 1
+        sps = steps_per_iter / max(1e-9, time.time() - t0)
+        t0 = time.time()
+        metrics = dict(
+            env_steps=it * steps_per_iter,
+            mean_reward=float(mean_reward),
+            steps_per_second=sps,
+        )
+        logger.log(it * steps_per_iter, **metrics)
+        print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
+        if args.checkpoint_every_iters and it % args.checkpoint_every_iters == 0:
+            save_checkpoint(f"{args.logdir}/ckpt", ts, it * steps_per_iter)
+    save_checkpoint(f"{args.logdir}/ckpt", ts, it * steps_per_iter)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""SAC training CLI — the reference's ``train_test/sb3_train*.py`` equivalent.
+
+Usage:
+    python -m usv_tpu.train.run_sac --env usv-simple --total-steps 1000000 \
+        --num-envs 256 --logdir runs/sac
+
+Everything (env batch, replay, learner) is device-resident; the host loop only
+dispatches large jitted round-blocks and logs metrics/checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="usv-simple")
+    p.add_argument("--total-steps", type=float, default=10e6)  # sb3_train.py:13
+    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--buffer-size", type=int, default=400_000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--learning-starts", type=int, default=50_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--frame-stack", type=int, default=5)
+    p.add_argument("--lambda-t", type=float, default=10.0)
+    p.add_argument("--lambda-s", type=float, default=5.0)
+    p.add_argument("--eps-s", type=float, default=0.1)
+    p.add_argument("--rounds-per-block", type=int, default=200)
+    p.add_argument("--logdir", default="runs/sac")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-every-blocks", type=int, default=10)
+    p.add_argument("--eval-every-blocks", type=int, default=5)
+    p.add_argument("--ignore-obstacles", action="store_true")
+    p.add_argument("--shard", action="store_true",
+                   help="shard env batch + replay over all local devices")
+    args = p.parse_args(argv)
+
+    from usv_tpu.envs import make
+    from usv_tpu.train.checkpoint import save_checkpoint
+    from usv_tpu.train.metrics import MetricLogger
+    from usv_tpu.train.sac import SacConfig, SacLearner
+
+    env_kwargs = {}
+    if args.ignore_obstacles:
+        env_kwargs["ignore_obstacles"] = True
+    handle = make(args.env, **env_kwargs)
+    cfg = SacConfig(
+        buffer_size=args.buffer_size,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        learning_starts=args.learning_starts,
+        num_envs=args.num_envs,
+        frame_stack=args.frame_stack,
+        lambda_t=args.lambda_t,
+        lambda_s=args.lambda_s,
+        eps_s=args.eps_s,
+    )
+    learner = SacLearner(handle, cfg)
+    ts = learner.init(seed=args.seed)
+
+    if args.shard:
+        from usv_tpu.parallel.mesh import make_env_mesh
+        from usv_tpu.parallel.sharded import shard_sac_train_state
+
+        ts = shard_sac_train_state(ts, make_env_mesh())
+
+    logger = MetricLogger(args.logdir, config=vars(args))
+    steps_per_block = args.rounds_per_block * cfg.train_freq * cfg.num_envs
+    block = 0
+    t0 = time.time()
+    while int(ts.env_steps) * cfg.num_envs < args.total_steps:
+        ts, reward_sum = learner.train_rounds(ts, args.rounds_per_block)
+        block += 1
+        env_steps = int(ts.env_steps) * cfg.num_envs
+        sps = steps_per_block / max(1e-9, time.time() - t0)
+        t0 = time.time()
+        metrics = dict(
+            env_steps=env_steps,
+            grad_steps=int(ts.grad_steps),
+            collect_reward_per_step=float(reward_sum) / steps_per_block,
+            steps_per_second=sps,
+        )
+        if args.eval_every_blocks and block % args.eval_every_blocks == 0:
+            metrics["eval_reward_per_step"] = learner.eval_policy(ts)
+        logger.log(env_steps, **metrics)
+        print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
+        if args.checkpoint_every_blocks and block % args.checkpoint_every_blocks == 0:
+            save_checkpoint(f"{args.logdir}/ckpt", ts, env_steps)
+    save_checkpoint(f"{args.logdir}/ckpt", ts, int(ts.env_steps) * cfg.num_envs)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
