@@ -73,6 +73,7 @@ class CaEnvConfig:
     substep_dt: float = 0.01
     place_obstacles: bool = True
     strict_compat_raycast: bool = True
+    raycast_backend: str = "auto"  # see SimpleEnvConfig.raycast_backend
     # moving-average action filter (reference :94-97,165-171)
     filter_action: bool = False
     filter_window_size: int = 5
@@ -218,7 +219,18 @@ def step(
     collision = any_obs & (jnp.min(masked_boundary) < 0.0)
 
     # Lidar (:249-259); ordering key is the boundary distance
-    if cfg.strict_compat_raycast:
+    backend = cfg.raycast_backend
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() in ("cpu", "gpu") else "pallas"
+    if backend == "pallas":
+        from usv_tpu.ops.raycast_pallas import make_raycast_compat
+
+        fn = make_raycast_compat(
+            cfg.sensor_num, cfg.sensor_max_range, cfg.sensor_span,
+            first_hit=cfg.strict_compat_raycast,
+        )
+        sensor_dist = fn(pose, state.obs_xy, state.obs_r, state.obs_mask, boundary)
+    elif cfg.strict_compat_raycast:
         sensor_dist = raycast_first_hit_compat(
             pose, state.obs_xy, state.obs_r, state.obs_mask,
             cfg.sensor_num, cfg.sensor_max_range, cfg.sensor_span,

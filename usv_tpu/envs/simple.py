@@ -59,6 +59,10 @@ class SimpleEnvConfig:
     ignore_obstacles: bool = False
     # Reference raycast reduction (sorted-first-hit, :439-461) vs true min.
     strict_compat_raycast: bool = True
+    # "auto" picks "pallas" (fused VMEM kernel, 1.7x step speedup at 4096
+    # envs on v5e) on TPU backends and "xla" (masked min-reductions)
+    # elsewhere; single-env calls always lower to XLA via custom_vmap.
+    raycast_backend: str = "auto"
     # Reward constants (reference :150-186)
     ye_k: float = 0.075
     collision_penalty: float = -20.0
@@ -105,7 +109,20 @@ def _sensor_sweep(cfg: SimpleEnvConfig, state: SimpleEnvState):
     boundary = jnp.hypot(n[..., 0], n[..., 1]) - state.obs_r
     masked_boundary = jnp.where(state.obs_mask, boundary, jnp.inf)
 
-    if cfg.strict_compat_raycast:
+    backend = cfg.raycast_backend
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() in ("cpu", "gpu") else "pallas"
+    if backend == "pallas":
+        from usv_tpu.ops.raycast_pallas import make_raycast_compat
+
+        fn = make_raycast_compat(
+            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
+            first_hit=cfg.strict_compat_raycast,
+        )
+        dist = fn(
+            state.position, state.obs_xy, state.obs_r, state.obs_mask, boundary
+        )
+    elif cfg.strict_compat_raycast:
         dist = raycast_first_hit_compat(
             state.position, state.obs_xy, state.obs_r, state.obs_mask,
             cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,

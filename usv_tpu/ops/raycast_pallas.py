@@ -1,0 +1,185 @@
+"""Pallas TPU kernel for the ray-cast sensor (batched).
+
+The XLA formulation (ops/raycast.py) materializes (batch, rays, obstacles)
+intermediates in HBM; this kernel loops over the obstacle axis inside VMEM,
+keeping only (rays, env-tile) running minima — no (B, R, K) tensor ever
+touches HBM, and both reduction semantics (true min and the reference's
+first-hit-in-boundary-order) happen in one pass.
+
+Layout: the env batch rides the LANE axis (tiles of 128 envs), rays ride the
+sublane axis, and the per-obstacle scalars are stored obstacle-major (K, B)
+so the obstacle loop indexes the sublane dimension (dynamic sublane indexing
+is legal on TPU; dynamic lane indexing is not). The wrapper transposes
+to/from the (B, ...) caller layout.
+
+Integration with the vmapped env step is via ``jax.custom_batching
+.custom_vmap``: the single-env call lowers to the XLA formulation, the
+batched call to this kernel (see :func:`make_raycast_compat`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ENV_TILE = 128  # envs per program (lane width)
+
+
+def _batched_kernel(
+    pose_ref,      # (4, T): x, y, psi, pad
+    ox_ref, oy_ref, or_ref, mask_ref, bnd_ref,  # (K, T)
+    out_ref,       # (R, T)
+    *, sensor_count, max_range, resolution, first_hit, n_obs,
+):
+    x = pose_ref[0:1, :]    # (1, T)
+    y = pose_ref[1:2, :]
+    psi = pose_ref[2:3, :]
+
+    ray = jax.lax.broadcasted_iota(
+        jnp.int32, (sensor_count, 1), 0
+    ).astype(jnp.float32)
+    angles = psi + (-2.0 * np.pi / 3.0) + ray * resolution   # (R, T)
+    c = jnp.cos(angles)
+    s = jnp.sin(angles)
+
+    init = (
+        jnp.full((sensor_count, ENV_TILE), jnp.inf, jnp.float32),
+        jnp.full((sensor_count, ENV_TILE), max_range, jnp.float32),
+    )
+
+    def body(k, carry):
+        best_key, best_dist = carry
+        nx = ox_ref[pl.ds(k, 1), :] - x          # (1, T)
+        ny = oy_ref[pl.ds(k, 1), :] - y
+        r = or_ref[pl.ds(k, 1), :]
+        m = mask_ref[pl.ds(k, 1), :]
+        xk = c * nx + s * ny                     # (R, T)
+        yk = s * nx - c * ny
+        delta = r * r - yk * yk
+        dist = xk - jnp.sqrt(jnp.maximum(delta, 0.0))
+        valid = (xk >= 0.0) & (delta >= 0.0) & (m > 0.5)
+        if first_hit:
+            valid = valid & (dist < max_range)
+            key_k = jnp.broadcast_to(
+                bnd_ref[pl.ds(k, 1), :], (sensor_count, ENV_TILE)
+            )
+            better = valid & (key_k < best_key)
+            tie = valid & (key_k == best_key)
+            best_dist = jnp.where(
+                better, dist,
+                jnp.where(tie, jnp.minimum(dist, best_dist), best_dist),
+            )
+            best_key = jnp.where(better, key_k, best_key)
+        else:
+            best_dist = jnp.minimum(best_dist, jnp.where(valid, dist, max_range))
+        return best_key, best_dist
+
+    best_key, best_dist = jax.lax.fori_loop(0, n_obs, body, init)
+    if first_hit:
+        out_ref[:, :] = jnp.where(jnp.isfinite(best_key), best_dist, max_range)
+    else:
+        out_ref[:, :] = best_dist
+
+
+def raycast_pallas_batched(
+    position,       # (B, 3)
+    obs_xy,         # (B, K, 2)
+    obs_r,          # (B, K)
+    obs_mask,       # (B, K) bool
+    sensor_count: int,
+    sensor_max_range: float,
+    sensor_span: float = (2.0 / 3.0) * 2.0 * np.pi,
+    boundary_distance=None,   # (B, K)
+    first_hit: bool = True,
+    interpret: bool = False,
+):
+    """Batched raycast -> (B, R). B is padded up to a multiple of 128."""
+    B, K = obs_r.shape
+    resolution = sensor_span / sensor_count
+
+    if boundary_distance is None:
+        n = obs_xy - position[:, None, :2]
+        boundary_distance = jnp.hypot(n[..., 0], n[..., 1]) - obs_r
+
+    pad = (-B) % ENV_TILE
+    if pad:
+        position = jnp.pad(position, ((0, pad), (0, 0)))
+        obs_xy = jnp.pad(obs_xy, ((0, pad), (0, 0), (0, 0)))
+        obs_r = jnp.pad(obs_r, ((0, pad), (0, 0)))
+        obs_mask = jnp.pad(obs_mask, ((0, pad), (0, 0)))
+        boundary_distance = jnp.pad(boundary_distance, ((0, pad), (0, 0)))
+    Bp = B + pad
+
+    # obstacle-major layouts (sublane-indexable); pose padded to 4 rows
+    pose_t = jnp.concatenate(
+        [position.T.astype(jnp.float32), jnp.zeros((1, Bp), jnp.float32)], axis=0
+    )  # (4, Bp)
+    ox_t = obs_xy[..., 0].T.astype(jnp.float32)       # (K, Bp)
+    oy_t = obs_xy[..., 1].T.astype(jnp.float32)
+    or_t = obs_r.T.astype(jnp.float32)
+    mask_t = obs_mask.T.astype(jnp.float32)
+    bnd_t = boundary_distance.T.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _batched_kernel,
+        sensor_count=sensor_count,
+        max_range=float(sensor_max_range),
+        resolution=float(resolution),
+        first_hit=first_hit,
+        n_obs=K,
+    )
+    grid = (Bp // ENV_TILE,)
+
+    def col_spec(rows):
+        return pl.BlockSpec(
+            (rows, ENV_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((sensor_count, Bp), jnp.float32),
+        in_specs=[col_spec(4)] + [col_spec(K)] * 5,
+        out_specs=col_spec(sensor_count),
+        interpret=interpret,
+    )(pose_t, ox_t, oy_t, or_t, mask_t, bnd_t)
+    return out.T[:B]
+
+
+def make_raycast_compat(sensor_count, sensor_max_range, sensor_span, first_hit=True):
+    """custom_vmap raycast: single env -> XLA formulation; batched -> Pallas.
+
+    Returns fn(position(3,), obs_xy(K,2), obs_r(K,), obs_mask(K,),
+    boundary(K,)) -> (R,), usable inside a vmapped env step.
+    """
+    from usv_tpu.ops.raycast import raycast, raycast_first_hit_compat
+
+    @jax.custom_batching.custom_vmap
+    def fn(position, obs_xy, obs_r, obs_mask, boundary):
+        if first_hit:
+            return raycast_first_hit_compat(
+                position, obs_xy, obs_r, obs_mask,
+                sensor_count, sensor_max_range, sensor_span,
+                boundary_distance=boundary,
+            )
+        return raycast(
+            position, obs_xy, obs_r, obs_mask,
+            sensor_count, sensor_max_range, sensor_span,
+        )
+
+    @fn.def_vmap
+    def _vmap_rule(axis_size, in_batched, position, obs_xy, obs_r, obs_mask, boundary):
+        del axis_size, in_batched
+        out = raycast_pallas_batched(
+            position, obs_xy, obs_r, obs_mask,
+            sensor_count, sensor_max_range, sensor_span,
+            boundary_distance=boundary, first_hit=first_hit,
+        )
+        return out, True
+
+    return fn

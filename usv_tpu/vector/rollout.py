@@ -80,13 +80,18 @@ def throughput(
 ):
     """Measure env-steps/s: compile once, best of ``repeats`` timed runs."""
     run = rollout_scan(handle, num_envs, n_steps, policy_fn=policy_fn)
-    key = jax.random.key(0)
-    # compile + warm up
-    jax.block_until_ready(run(key))
+
+    def run_sync(key):
+        # fetch a scalar: block_until_ready alone does not reliably block on
+        # remote/experimental platforms (observed on the axon TPU tunnel)
+        out = run(key)
+        return float(out[1])
+
+    run_sync(jax.random.key(0))  # compile + warm up
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(jax.random.key(i + 1)))
+        run_sync(jax.random.key(i + 1))
         best = min(best, time.perf_counter() - t0)
     steps = num_envs * n_steps
     return {
