@@ -1,0 +1,72 @@
+"""Numerical guards: NaN detection for the physics hot path.
+
+The aux-subsystem upgrade over the reference (SURVEY.md §5: its only guard is
+``faulthandler``; the dynamics can diverge under extreme thrust). Two tiers:
+
+* :func:`checked_step` — wrap any env step with ``checkify`` NaN/inf checks
+  on the output state (debug tier; adds cost, not for the hot loop).
+* :func:`sanitize_state` — branch-free production tier: replace non-finite
+  pose/velocity leaves with a reset-safe value and flag the env, so one
+  diverged env in a 4096-batch cannot poison a whole rollout (it terminates
+  and auto-resets instead).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import checkify
+
+
+def checked_step(step_fn):
+    """Wrap step(cfg, state, action) with NaN/inf checks on outputs.
+
+    Returns fn(cfg, state, action) -> (err, (state, timestep)); call
+    ``err.throw()`` (or inspect it) on the host.
+    """
+
+    def inner(cfg, state, action):
+        new_state, ts = step_fn(cfg, state, action)
+        for leaf in jax.tree.leaves(new_state):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                checkify.check(
+                    jnp.all(jnp.isfinite(leaf)), "non-finite value in env state"
+                )
+        checkify.check(jnp.isfinite(ts.reward), "non-finite reward")
+        return new_state, ts
+
+    return checkify.checkify(inner)
+
+
+def is_state_finite(state) -> jnp.ndarray:
+    """Scalar (or batch) bool: every float leaf of the pytree is finite."""
+    flags = []
+    for leaf in jax.tree.leaves(state):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            axes = tuple(range(leaf.ndim))
+            flags.append(jnp.all(jnp.isfinite(leaf), axis=axes))
+    return jnp.stack(flags).all(axis=0)
+
+
+def make_sanitized_step(step_fn, cfg):
+    """Production guard: if a step produces non-finite state, mark the env
+    terminated (so autoreset replaces it) and zero the poisoned leaves."""
+
+    def inner(state, action):
+        new_state, ts = step_fn(cfg, state, action)
+        ok = is_state_finite(new_state)
+
+        def clean(leaf):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                return jnp.where(jnp.isfinite(leaf), leaf, 0.0)
+            return leaf
+
+        new_state = jax.tree.map(clean, new_state)
+        ts = ts.replace(
+            terminated=ts.terminated | ~ok,
+            reward=jnp.where(ok, ts.reward, 0.0),
+            obs=jnp.where(jnp.isfinite(ts.obs), ts.obs, 0.0),
+        )
+        return new_state, ts
+
+    return inner
