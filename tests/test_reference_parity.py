@@ -7,14 +7,15 @@ the JAX kernels from identical initial state and compare trajectories.
 (The reference uses the removed ``np.math`` alias — shimmed before import.)
 """
 
+import importlib.util
 import math
-import sys
+import types
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 np.math = math  # reference control/usv_asmc.py:72 uses the removed np.math
-sys.path.insert(0, "/root/reference")
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +25,26 @@ from usv_tpu.control.pid import PidGains, PidLoopState, init_pid, pid_compute
 from usv_tpu.physics.dynamics import init_dynamics
 from usv_tpu.physics.params import VehicleParams
 
-gym_usv_control = pytest.importorskip("gym_usv.control")
+_REF = Path("/root/reference/gym_usv/control")
+
+
+def _load_ref(name):
+    """Load a reference controller module by file path WITHOUT executing the
+    gym_usv package __init__ (which registers the reference's env ids with
+    gymnasium and would shadow ours)."""
+    spec = importlib.util.spec_from_file_location(f"_ref_{name}", _REF / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+if not _REF.exists():  # pragma: no cover
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+
+gym_usv_control = types.SimpleNamespace(
+    UsvAsmc=_load_ref("usv_asmc").UsvAsmc,
+    UsvPID=_load_ref("usv_pid").UsvPID,
+)
 
 VP = VehicleParams()
 
