@@ -275,6 +275,17 @@ class UsvAsmcEnv(GymUsvEnv):
             -np.pi / 2, np.pi / 2, shape=(1,), dtype=np.float32
         )
 
+    def _make_observation_space(self, obs_dim):
+        # [u, v_ak, r, ye, psi_ak, action_last] bounds per the reference
+        # (usv_asmc_env.py:80-96)
+        low = np.array(
+            [-1.5, -1.5, -1.0, -10.0, -np.pi, -np.pi / 2], np.float32
+        )
+        high = np.array(
+            [1.5, 1.5, 1.0, 10.0, np.pi, np.pi / 2], np.float32
+        )
+        return spaces.Box(low=low, high=high, dtype=np.float32)
+
 
 class UsvPidEnv(UsvAsmcEnv):
     env_id = "usv-pid-v0"

@@ -2,11 +2,10 @@
 
 Capability match for the reference's ``config_ppo`` path
 (``train_test/config.py:3-15``): n_steps=2048 rollout horizon, minibatch 64,
-pi/vf nets 256x256, log_std_init=-2. The reference enables SB3's gSDE
-(state-dependent exploration, sde_sample_freq=4); this implementation uses a
-standard Gaussian policy — a deliberate, documented divergence (gSDE's latent
-resampling is orthogonal to env capability and can be layered onto the actor
-later).
+pi/vf nets 256x256, log_std_init=-2, and gSDE (use_sde + sde_sample_freq=4,
+config.py:4-5): exploration noise is state-dependent (phi(s) @ sigma E) with
+the exploration matrix resampled every sde_sample_freq env steps
+(usv_tpu/models/sde.py).
 
 Like the SAC learner, {rollout -> GAE -> epochs of minibatch updates} is one
 jitted device program.
@@ -43,6 +42,8 @@ class PpoConfig:
     pi_hidden: Tuple[int, int] = (256, 256)
     vf_hidden: Tuple[int, int] = (256, 256)
     log_std_init: float = -2.0   # config.py:12
+    use_sde: bool = True         # config.py:4
+    sde_sample_freq: int = 4     # config.py:5
     num_envs: int = 16
     frame_stack: int = 5
 
@@ -55,6 +56,7 @@ class PpoTrainState:
     frames: jnp.ndarray
     key: jnp.ndarray
     update_count: jnp.ndarray
+    sde: object = None  # SdeState when cfg.use_sde
 
 
 class PpoLearner:
@@ -69,6 +71,7 @@ class PpoLearner:
             pi_hidden=config.pi_hidden,
             vf_hidden=config.vf_hidden,
             log_std_init=config.log_std_init,
+            use_sde=config.use_sde,
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
@@ -88,6 +91,15 @@ class PpoLearner:
         env_state = jax.vmap(lambda k: self.handle.reset(self.handle.cfg, k))(env_keys)
         obs0 = jax.vmap(lambda s: self.handle.reset_obs(self.handle.cfg, s))(env_state)
         frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
+        sde = None
+        if cfg.use_sde:
+            from usv_tpu.models.sde import init_sde
+
+            key, k_sde = jax.random.split(key)
+            sde = init_sde(
+                k_sde, cfg.pi_hidden[-1], self.act_dim,
+                batch_shape=(cfg.num_envs,),
+            )
         return PpoTrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -95,6 +107,7 @@ class PpoLearner:
             frames=frames,
             key=key,
             update_count=jnp.zeros((), jnp.int32),
+            sde=sde,
         )
 
     def init(self, seed: int = 0) -> PpoTrainState:
@@ -106,9 +119,15 @@ class PpoLearner:
         cfg = self.cfg
 
         def body(carry, step_key):
-            env_state, frames = carry
+            env_state, frames, sde = carry
             obs = frames.reshape(cfg.num_envs, -1)
-            action, logp, value = self.model.sample(ts.params, obs, step_key)
+            if cfg.use_sde:
+                from usv_tpu.models.sde import maybe_resample
+
+                sde = maybe_resample(sde, step_key, cfg.sde_sample_freq)
+                action, logp, value = self.model.sample_sde(ts.params, obs, sde)
+            else:
+                action, logp, value = self.model.sample(ts.params, obs, step_key)
             env_state, step_ts = self._auto_step(env_state, action)
             new_frames = jnp.concatenate(
                 [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
@@ -125,15 +144,15 @@ class PpoLearner:
                 done=step_ts.done.astype(jnp.float32),
                 terminated=step_ts.terminated.astype(jnp.float32),
             )
-            return (env_state, new_frames), out
+            return (env_state, new_frames, sde), out
 
         keys = jax.random.split(key, cfg.n_steps)
-        (env_state, frames), traj = jax.lax.scan(
-            body, (ts.env_state, ts.frames), keys
+        (env_state, frames, sde), traj = jax.lax.scan(
+            body, (ts.env_state, ts.frames, ts.sde), keys
         )
         last_obs = frames.reshape(cfg.num_envs, -1)
-        _, _, last_value = self.model.apply(ts.params, last_obs)
-        return ts.replace(env_state=env_state, frames=frames), traj, last_value
+        _, _, last_value, _ = self.model.apply(ts.params, last_obs)
+        return ts.replace(env_state=env_state, frames=frames, sde=sde), traj, last_value
 
     @staticmethod
     def _gae(traj, last_value, gamma, lam):

@@ -55,6 +55,11 @@ class SacConfig:
     lambda_t: float = 10.0
     lambda_s: float = 5.0
     eps_s: float = 0.1
+    # gSDE exploration (config.py:18-19; SB3 use_sde + sde_sample_freq).
+    # Updates always use the exact marginal distribution; this flag makes
+    # collection noise temporally smooth via exploration matrices.
+    use_sde: bool = False
+    sde_sample_freq: int = 4
     # vector-env setup
     num_envs: int = 64
     frame_stack: int = 5        # FrameStack(5), sb3_train.py:51
@@ -79,6 +84,7 @@ class SacTrainState:
     key: jnp.ndarray
     env_steps: jnp.ndarray      # () int64-ish counter (int32)
     grad_steps: jnp.ndarray
+    sde: object = None          # SdeState when cfg.use_sde
 
 
 class SacLearner:
@@ -97,6 +103,7 @@ class SacLearner:
             log_std_init=config.log_std_init,
             action_low=config.action_low,
             action_high=config.action_high,
+            use_sde=config.use_sde,
         )
         self.critic = DoubleCritic(hidden=config.hidden)
         self.target_entropy = -float(self.act_dim)  # SB3 'auto'
@@ -128,6 +135,16 @@ class SacLearner:
         obs0 = jax.vmap(lambda s: self.handle.reset_obs(self.handle.cfg, s))(env_state)
         frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
 
+        sde = None
+        if cfg.use_sde:
+            from usv_tpu.models.sde import init_sde
+
+            key, k_sde = jax.random.split(key)
+            sde = init_sde(
+                k_sde, cfg.hidden[-1], self.act_dim,
+                batch_shape=(cfg.num_envs,),
+            )
+
         return SacTrainState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -143,6 +160,7 @@ class SacLearner:
             key=key,
             env_steps=jnp.zeros((), jnp.int32),
             grad_steps=jnp.zeros((), jnp.int32),
+            sde=sde,
         )
 
     def init(self, seed: int = 0) -> SacTrainState:
@@ -150,15 +168,19 @@ class SacLearner:
 
     # ----------------------------------------------------------- collection
 
-    def _policy_action(self, ts: SacTrainState, obs, key, random_phase):
-        """Random uniform during warmup, else squashed-Gaussian sample."""
+    def _policy_action(self, ts: SacTrainState, obs, key, random_phase, sde=None):
+        """Random uniform during warmup, else squashed-Gaussian sample
+        (temporally smooth gSDE noise when enabled)."""
         low = jnp.asarray(self.cfg.action_low)
         high = jnp.asarray(self.cfg.action_high)
         k1, k2 = jax.random.split(key)
         rand = jax.random.uniform(
             k1, (obs.shape[0], self.act_dim), minval=low, maxval=high
         )
-        sampled, _, _ = self.actor.sample(ts.actor_params, obs, k2)
+        if self.cfg.use_sde:
+            sampled = self.actor.sample_sde(ts.actor_params, obs, sde)
+        else:
+            sampled, _, _ = self.actor.sample(ts.actor_params, obs, k2)
         return jnp.where(random_phase, rand, sampled)
 
     def _env_cycle(self, ts: SacTrainState, key):
@@ -166,9 +188,13 @@ class SacLearner:
         cfg = self.cfg
 
         def one_step(carry, step_key):
-            env_state, frames, obs, buffer, env_steps = carry
+            env_state, frames, obs, buffer, env_steps, sde = carry
             random_phase = env_steps * cfg.num_envs < cfg.learning_starts
-            actions = self._policy_action(ts, obs, step_key, random_phase)
+            if cfg.use_sde:
+                from usv_tpu.models.sde import maybe_resample
+
+                sde = maybe_resample(sde, step_key, cfg.sde_sample_freq)
+            actions = self._policy_action(ts, obs, step_key, random_phase, sde)
             env_state, step_ts = self._auto_step(env_state, actions)
 
             new_frames = jnp.concatenate(
@@ -193,19 +219,19 @@ class SacLearner:
             )
             new_obs = new_frames.reshape(obs.shape[0], -1)
             return (
-                (env_state, new_frames, new_obs, buffer, env_steps + 1),
+                (env_state, new_frames, new_obs, buffer, env_steps + 1, sde),
                 jnp.sum(step_ts.reward),
             )
 
         keys = jax.random.split(key, cfg.train_freq)
-        (env_state, frames, obs, buffer, env_steps), rewards = jax.lax.scan(
+        (env_state, frames, obs, buffer, env_steps, sde), rewards = jax.lax.scan(
             one_step,
-            (ts.env_state, ts.frames, ts.obs, ts.buffer, ts.env_steps),
+            (ts.env_state, ts.frames, ts.obs, ts.buffer, ts.env_steps, ts.sde),
             keys,
         )
         ts = ts.replace(
             env_state=env_state, frames=frames, obs=obs,
-            buffer=buffer, env_steps=env_steps,
+            buffer=buffer, env_steps=env_steps, sde=sde,
         )
         return ts, jnp.sum(rewards)
 
