@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--learning-starts", type=int, default=50_000)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--train-freq", type=int, default=8)
+    p.add_argument("--gradient-steps", type=int, default=8)
+    p.add_argument("--sde", action="store_true")
     p.add_argument("--frame-stack", type=int, default=5)
     p.add_argument("--lambda-t", type=float, default=10.0)
     p.add_argument("--lambda-s", type=float, default=5.0)
@@ -51,6 +54,9 @@ def main(argv=None):
         batch_size=args.batch_size,
         learning_rate=args.lr,
         learning_starts=args.learning_starts,
+        train_freq=args.train_freq,
+        gradient_steps=args.gradient_steps,
+        use_sde=args.sde,
         num_envs=args.num_envs,
         frame_stack=args.frame_stack,
         lambda_t=args.lambda_t,
@@ -73,9 +79,8 @@ def main(argv=None):
     while int(ts.env_steps) * cfg.num_envs < args.total_steps:
         ts, reward_sum = learner.train_rounds(ts, args.rounds_per_block)
         block += 1
-        env_steps = int(ts.env_steps) * cfg.num_envs
+        env_steps = int(ts.env_steps) * cfg.num_envs  # forces device sync
         sps = steps_per_block / max(1e-9, time.time() - t0)
-        t0 = time.time()
         metrics = dict(
             env_steps=env_steps,
             grad_steps=int(ts.grad_steps),
@@ -88,6 +93,7 @@ def main(argv=None):
         print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
         if args.checkpoint_every_blocks and block % args.checkpoint_every_blocks == 0:
             save_checkpoint(f"{args.logdir}/ckpt", ts, env_steps)
+        t0 = time.time()  # exclude eval/checkpoint from the next block's rate
     save_checkpoint(f"{args.logdir}/ckpt", ts, int(ts.env_steps) * cfg.num_envs)
     logger.close()
 
