@@ -7,7 +7,6 @@ Each entry bundles the config class and the pure functions of one env family.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, NamedTuple
 
 

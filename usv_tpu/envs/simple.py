@@ -32,7 +32,6 @@ Known deliberate divergences (documented, not bugs):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

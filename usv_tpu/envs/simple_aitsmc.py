@@ -19,7 +19,7 @@ the env-step index (:31-35, 74-75) evaluated once per step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
