@@ -79,5 +79,5 @@ def test_sac_trains_with_sde():
     obs = jnp.zeros((8, learner.obs_dim))
     st = init_sde(jax.random.key(5), 32, 2, batch_shape=(8,))
     a = learner.actor.sample_sde(ts.actor_params, obs, st)
-    assert np.all(np.asarray(a) >= np.asarray(cfg.action_low) - 1e-5)
-    assert np.all(np.asarray(a) <= np.asarray(cfg.action_high) + 1e-5)
+    assert np.all(np.asarray(a) >= np.asarray(learner.action_low) - 1e-5)
+    assert np.all(np.asarray(a) <= np.asarray(learner.action_high) + 1e-5)

@@ -70,8 +70,8 @@ def test_sac_actions_within_bounds():
     ts = learner.init(seed=2)
     obs = jnp.zeros((16, learner.obs_dim))
     a, logp, mean = learner.actor.sample(ts.actor_params, obs, jax.random.key(0))
-    low = np.asarray(SMALL_SAC.action_low)
-    high = np.asarray(SMALL_SAC.action_high)
+    low = np.asarray(learner.action_low)
+    high = np.asarray(learner.action_high)
     assert np.all(np.asarray(a) >= low - 1e-5)
     assert np.all(np.asarray(a) <= high + 1e-5)
     assert np.all(np.isfinite(np.asarray(logp)))

@@ -69,7 +69,10 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
         return spaces.Box(-1.0, 1.0, shape=(obs_dim,), dtype=np.float32)
 
     def _make_action_space(self, act_dim):
-        return spaces.Box(-1.0, 1.0, shape=(act_dim,), dtype=np.float32)
+        cfg = self.handle.cfg
+        low = np.asarray(cfg.action_low, np.float32)
+        high = np.asarray(cfg.action_high, np.float32)
+        return spaces.Box(low, high, shape=(act_dim,), dtype=np.float32)
 
     # -- machinery ------------------------------------------------------
 
@@ -143,13 +146,6 @@ class UsvSimpleEnv(GymUsvEnv):
     """Adapter for reference ``UsvSimpleEnv`` (simple_env.py:7-349)."""
 
     env_id = "usv-simple"
-
-    def _make_action_space(self, act_dim):
-        # dU in [0.2, 1], dR in [-1, 1] (reference simple_env.py:30)
-        return spaces.Box(
-            np.array([0.2, -1.0], np.float32), np.array([1.0, 1.0], np.float32),
-            shape=(2,), dtype=np.float32,
-        )
 
     def _apply_reset_options(self, state, options):
         if options.get("run_custom_experiment"):
@@ -269,11 +265,6 @@ class UsvAsmcEnv(GymUsvEnv):
 
     env_id = "usv-asmc-v0"
     legacy_api = True
-
-    def _make_action_space(self, act_dim):
-        return spaces.Box(
-            -np.pi / 2, np.pi / 2, shape=(1,), dtype=np.float32
-        )
 
     def _make_observation_space(self, obs_dim):
         # [u, v_ak, r, ye, psi_ak, action_last] bounds per the reference

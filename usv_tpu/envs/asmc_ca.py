@@ -89,6 +89,14 @@ class CaEnvConfig:
     def action_dim(self) -> int:
         return 2
 
+    @property
+    def action_low(self):
+        return (-1.0, -1.0)
+
+    @property
+    def action_high(self):
+        return (1.0, 1.0)
+
 
 @struct.dataclass
 class CaEnvState:

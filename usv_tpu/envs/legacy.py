@@ -82,6 +82,14 @@ class LegacyConfigBase:
     def action_dim(self) -> int:
         return 1
 
+    @property
+    def action_low(self):
+        return (-float(np.pi) / 2,)
+
+    @property
+    def action_high(self):
+        return (float(np.pi) / 2,)
+
 
 @dataclasses.dataclass(frozen=True)
 class LegacyAsmcConfig(LegacyConfigBase):

@@ -78,6 +78,15 @@ class SimpleEnvConfig:
     def action_dim(self) -> int:
         return 2
 
+    @property
+    def action_low(self):
+        # dU in [0.2, 1], dR in [-1, 1] (reference simple_env.py:30)
+        return (0.2, -1.0)
+
+    @property
+    def action_high(self):
+        return (1.0, 1.0)
+
 
 @struct.dataclass
 class SimpleEnvState:

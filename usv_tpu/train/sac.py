@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,9 +63,9 @@ class SacConfig:
     # vector-env setup
     num_envs: int = 64
     frame_stack: int = 5        # FrameStack(5), sb3_train.py:51
-    # action space of the simple envs (simple_env.py:30)
-    action_low: Tuple[float, ...] = (0.2, -1.0)
-    action_high: Tuple[float, ...] = (1.0, 1.0)
+    # action bounds; None derives them from the env config
+    action_low: Optional[Tuple[float, ...]] = None
+    action_high: Optional[Tuple[float, ...]] = None
 
 
 @struct.dataclass
@@ -96,13 +96,21 @@ class SacLearner:
         env_cfg = handle.cfg
         self.obs_dim = env_cfg.obs_dim * max(1, config.frame_stack)
         self.act_dim = env_cfg.action_dim
+        self.action_low = tuple(
+            config.action_low if config.action_low is not None
+            else env_cfg.action_low
+        )
+        self.action_high = tuple(
+            config.action_high if config.action_high is not None
+            else env_cfg.action_high
+        )
 
         self.actor = SquashedGaussianActor(
             action_dim=self.act_dim,
             hidden=config.hidden,
             log_std_init=config.log_std_init,
-            action_low=config.action_low,
-            action_high=config.action_high,
+            action_low=self.action_low,
+            action_high=self.action_high,
             use_sde=config.use_sde,
         )
         self.critic = DoubleCritic(hidden=config.hidden)
@@ -171,8 +179,8 @@ class SacLearner:
     def _policy_action(self, ts: SacTrainState, obs, key, random_phase, sde=None):
         """Random uniform during warmup, else squashed-Gaussian sample
         (temporally smooth gSDE noise when enabled)."""
-        low = jnp.asarray(self.cfg.action_low)
-        high = jnp.asarray(self.cfg.action_high)
+        low = jnp.asarray(self.action_low)
+        high = jnp.asarray(self.action_high)
         k1, k2 = jax.random.split(key)
         rand = jax.random.uniform(
             k1, (obs.shape[0], self.act_dim), minval=low, maxval=high
