@@ -16,7 +16,12 @@ def test_reset_deterministic(env_id):
     s1 = h.reset(h.cfg, jax.random.key(42))
     s2 = jax.jit(lambda k: h.reset(h.cfg, k))(jax.random.key(42))
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        # eager and jit may differ by fusion reassociation (last-ulp)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
 
 
 def test_step_deterministic_across_traces():
@@ -25,19 +30,30 @@ def test_step_deterministic_across_traces():
     action = jnp.asarray([0.6, -0.2])
     out1 = h.step(h.cfg, state, action)  # eager trace
     out2 = jax.jit(lambda s, a: h.step(h.cfg, s, a))(state, action)
-    np.testing.assert_array_equal(
-        np.asarray(out1[1].obs), np.asarray(out2[1].obs)
+    np.testing.assert_allclose(
+        np.asarray(out1[1].obs), np.asarray(out2[1].obs), rtol=1e-6, atol=1e-7
     )
+    np.testing.assert_allclose(
+        np.asarray(out1[1].reward), np.asarray(out2[1].reward), rtol=1e-6
+    )
+    # and jit-vs-jit is bit-exact
+    out3 = jax.jit(lambda s, a: h.step(h.cfg, s, a))(state, action)
     np.testing.assert_array_equal(
-        np.asarray(out1[1].reward), np.asarray(out2[1].reward)
+        np.asarray(out3[1].obs), np.asarray(out2[1].obs)
     )
 
 
 def test_step_does_not_mutate_input_state():
     h = make("usv-simple")
     state = h.reset(h.cfg, jax.random.key(1))
-    before = jax.tree.map(lambda x: np.asarray(x).copy(), state)
+
+    def to_np(x):
+        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x = jax.random.key_data(x)
+        return np.asarray(x).copy()
+
+    before = jax.tree.map(to_np, state)
     h.step(h.cfg, state, jnp.zeros(2))
-    after = jax.tree.map(np.asarray, state)
+    after = jax.tree.map(to_np, state)
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(a, b)
