@@ -20,7 +20,7 @@ def test_reset_deterministic(env_id):
             a, b = jax.random.key_data(a), jax.random.key_data(b)
         # eager and jit may differ by fusion reassociation (last-ulp)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            np.asarray(a), np.asarray(b), rtol=3e-6, atol=1e-6
         )
 
 
