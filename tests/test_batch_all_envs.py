@@ -40,5 +40,6 @@ def test_batched_framestack_on_variant():
     assert state.stacked_obs.shape == (4, 3 * 143)
 
 
-def test_all_seven_ids_registered():
-    assert set(registered_ids()) == set(ACTION_DIMS)
+def test_reference_ids_plus_curved_registered():
+    # the 7 reference env IDs plus the curved-path extension (BASELINE cfg 2)
+    assert set(registered_ids()) == set(ACTION_DIMS) | {"usv-curved-aitsmc"}

@@ -74,6 +74,15 @@ def _register_builtin():
     except ImportError:
         pass
     try:
+        from usv_tpu.envs import curved
+
+        register(
+            "usv-curved-aitsmc",
+            curved.CurvedEnvConfig, curved.reset, curved.step, curved.reset_obs,
+        )
+    except ImportError:
+        pass
+    try:
         from usv_tpu.envs import legacy
 
         register(
