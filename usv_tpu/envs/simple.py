@@ -172,7 +172,10 @@ def observe(cfg: SimpleEnvConfig, state: SimpleEnvState, action3) -> jnp.ndarray
     """Build the (15 + R,) observation — reference ``_get_obs`` :91-96."""
     sensor_state = state.sensor_dist / cfg.sensor_max_range
     target_state = _target_state(cfg, state)
-    action_state = action3[jnp.asarray([0, 2])] / state.max_action[jnp.asarray([0, 2])]
+    # static element picks (no gather in the hot loop)
+    action_state = jnp.stack([action3[..., 0], action3[..., 2]], axis=-1) / jnp.stack(
+        [state.max_action[..., 0], state.max_action[..., 2]], axis=-1
+    )
     kinem = jnp.concatenate([state.max_action / 10.0, state.max_acceleration / 10.0])
     return jnp.concatenate(
         [state.velocity / 10.0, target_state, action_state, kinem, sensor_state]
