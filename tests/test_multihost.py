@@ -1,0 +1,108 @@
+"""True multi-process jax.distributed test (2 hosts x 4 virtual devices).
+
+Validates the usv_tpu.parallel.dist path end-to-end: two separate processes
+rendezvous via jax.distributed.initialize, build one global 8-device mesh,
+shard an env batch across all devices of both processes, and agree on a
+psum-reduced metric. This is the CPU stand-in for the multi-host pod-slice
+protocol (SURVEY.md §2.3).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from usv_tpu.parallel.dist import fold_host_key, initialize_distributed
+
+    pid = int(sys.argv[1])
+    initialize_distributed(
+        coordinator_address="127.0.0.1:%PORT%", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8  # global
+    assert len(jax.local_devices()) == 4
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from usv_tpu.envs import make
+    from usv_tpu.envs.autoreset import make_autoreset_step
+    from usv_tpu.parallel.mesh import make_env_mesh
+
+    handle = make("usv-simple")
+    cfg = handle.cfg
+    mesh = make_env_mesh()  # all 8 global devices
+    sharding = NamedSharding(mesh, P("env"))
+
+    B = 16  # global batch; 8 envs per host
+    key = fold_host_key(jax.random.key(0))
+    local_keys = jax.random.split(key, B // 2)
+    local_state = jax.vmap(lambda k: handle.reset(cfg, k))(local_keys)
+
+    # assemble the global sharded pytree from per-host shards
+    def to_global(x):
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    state = jax.tree.map(to_global, local_state)
+    actions = to_global(jnp.zeros((B // 2, 2), jnp.float32))
+
+    auto = jax.vmap(
+        make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+    )
+
+    @jax.jit
+    def sharded_step(state, actions):
+        state, ts = auto(state, actions)
+        return state, jnp.mean(ts.reward)  # global mean => cross-host psum
+
+    state, mean_reward = sharded_step(state, actions)
+    print(json.dumps({"pid": pid, "mean_reward": float(mean_reward)}))
+    """
+)
+
+
+def test_two_process_distributed_env_step(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = _WORKER.replace("%PORT%", str(port))
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(script)
+
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "PYTHONPATH": os.getcwd(),
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # both hosts computed the SAME global psum-reduced metric
+    assert outs[0]["mean_reward"] == pytest.approx(outs[1]["mean_reward"], rel=1e-6)
