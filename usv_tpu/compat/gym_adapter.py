@@ -96,6 +96,10 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
     # -- gym API --------------------------------------------------------
 
     def reset(self, seed=None, options=None):
+        if _HAS_GYMNASIUM:
+            # seed gymnasium's np_random (API contract; our randomization
+            # itself runs on-device from the jax key below)
+            super().reset(seed=seed)
         options = options or {}
         if "place_obstacles_on_path" in options and options["place_obstacles_on_path"]:
             n = int(options["place_obstacles_on_path"])
