@@ -123,12 +123,28 @@ class SimpleEnvRenderer:
 
 class CaEnvRenderer:
     """Renderer for the CA env (reference usv_ca_renderer.py): boat polygon,
-    obstacles, sensor rays, target."""
+    obstacles, sensor rays, target — plus the debug-variable text overlay and
+    live scrolling plots the reference wrote but left disabled
+    (usv_ca_renderer.py:179-198); here they are opt-in via ``show_debug_vars``
+    / ``renderplots``."""
 
-    def __init__(self, render_mode: Optional[str] = "rgb_array", window_size: int = 512):
+    def __init__(self, render_mode: Optional[str] = "rgb_array", window_size: int = 512,
+                 show_debug_vars: bool = False, renderplots: bool = False,
+                 plot_history: int = 120):
         self._win = _PygameWindow(render_mode, window_size, fps=60)
+        self.show_debug_vars = show_debug_vars
+        self.renderplots = renderplots
+        self._plot_data = {}
+        self._plot_history = plot_history
+        self._font = None
 
-    def render_state(self, cfg, state):
+    def track_plot(self, name: str, value: float):
+        """Append a sample to a named scrolling plot (shown if renderplots)."""
+        self._plot_data.setdefault(
+            name, deque(maxlen=self._plot_history)
+        ).append(float(value))
+
+    def render_state(self, cfg, state, debug_vars: Optional[dict] = None):
         window = self._win.window_size
         world_w = cfg.max_x - cfg.min_x
         world_h = cfg.max_y - cfg.min_y
@@ -168,6 +184,25 @@ class CaEnvRenderer:
                 py = y + dx * np.sin(psi) + dy * np.cos(psi)
                 pts.append(to_screen((px, py)))
             pygame.draw.polygon(canvas, (0, 0, 0), pts)
+
+            if self.show_debug_vars and debug_vars:
+                if self._font is None:
+                    pygame.font.init()
+                    self._font = pygame.font.SysFont(None, 18)
+                for i, (k, v) in enumerate(sorted(debug_vars.items())):
+                    text = self._font.render(
+                        f"{k}: {float(v):.3f}", True, (20, 20, 120)
+                    )
+                    canvas.blit(text, (6, 6 + 16 * i))
+
+            if self.renderplots and self._plot_data:
+                w = self._win.window_size
+                for i, (name, data) in enumerate(sorted(self._plot_data.items())):
+                    render_plot(
+                        canvas, data,
+                        pos=(w - 150, 10 + i * 60), size=(140, 48),
+                        color=(40, 120, 40),
+                    )
 
         return self._win.frame(draw)
 
