@@ -6,6 +6,11 @@ single-env protocol and the batched variant are reported.
 Usage: python tools/profile_env.py [--envs N] [--steps N]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 

@@ -7,6 +7,11 @@ throughput line.
 Usage: python tools/profile_trace.py --envs 4096 --steps 512 --out /tmp/trace
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 

@@ -9,6 +9,11 @@ protocol; on a dev box run it against virtual CPU devices:
         python tools/scaling_check.py --envs-per-device 128 --steps 200
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

@@ -9,6 +9,11 @@ Usage:
     python tools/test_env.py --experiment 2
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import faulthandler
 import time
