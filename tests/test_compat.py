@@ -116,3 +116,20 @@ def test_rgb_array_render():
     assert frame.shape == (512, 512, 3)
     assert frame.dtype == np.uint8
     env.close()
+
+
+def test_vector_env_adapter():
+    from usv_tpu.compat import UsvVectorEnv
+
+    venv = UsvVectorEnv("usv-simple", num_envs=8, frame_stack=2)
+    obs, info = venv.reset(seed=3)
+    assert obs.shape == (8, 2 * 143)
+    assert venv.action_space.shape == (8, 2)
+    actions = np.zeros((8, 2), np.float32)
+    for _ in range(3):
+        obs, rewards, terminated, truncated, infos = venv.step(actions)
+    assert obs.shape == (8, 2 * 143)
+    assert rewards.shape == (8,)
+    assert terminated.dtype == bool
+    assert infos["terminal_observation"].shape == (8, 143)
+    venv.close()

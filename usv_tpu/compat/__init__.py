@@ -9,3 +9,4 @@ from usv_tpu.compat.gym_adapter import (
     UsvAsmcYeIntEnv,
     register_gymnasium_envs,
 )
+from usv_tpu.compat.vector_env import UsvVectorEnv
