@@ -127,6 +127,7 @@ class SacLearner:
         )
         self._jit_init = jax.jit(self._init_impl)
         self._jit_rounds = {}
+        self._jit_eval = {}
 
     # ------------------------------------------------------------------ init
 
@@ -370,9 +371,17 @@ class SacLearner:
     # ----------------------------------------------------------- evaluation
 
     def eval_policy(self, ts: SacTrainState, n_steps: int = 500, num_envs: int = 16):
-        """Deterministic-policy rollout; returns mean reward per step."""
+        """Deterministic-policy rollout; returns mean reward per step.
+
+        The jitted rollout is cached per (n_steps, num_envs) — a fresh jit
+        per call would recompile every evaluation (tens of seconds on TPU).
+        """
         cfg = self.cfg
         handle = self.handle
+
+        if (n_steps, num_envs) in self._jit_eval:
+            run = self._jit_eval[(n_steps, num_envs)]
+            return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))
 
         @jax.jit
         def run(actor_params, key):
@@ -400,4 +409,5 @@ class SacLearner:
             _, rewards = jax.lax.scan(body, (env_state, frames), None, length=n_steps)
             return jnp.mean(rewards)
 
+        self._jit_eval[(n_steps, num_envs)] = run
         return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))
