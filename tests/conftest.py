@@ -8,17 +8,20 @@ is initialized) rather than env vars alone.
 """
 
 import os
-import sys
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
+_flags = os.environ.get("XLA_FLAGS", "")
+_externally_set = "xla_force_host_platform_device_count" in _flags
+if not _externally_set:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-assert jax.local_device_count() == 8, (
-    "expected 8 virtual CPU devices; got "
-    f"{jax.local_device_count()} on {jax.devices()[:1]}"
-)
+if not _externally_set:
+    assert jax.local_device_count() == 8, (
+        "expected 8 virtual CPU devices; got "
+        f"{jax.local_device_count()} on {jax.devices()[:1]}"
+    )
