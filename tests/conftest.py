@@ -17,11 +17,19 @@ if not _externally_set:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import re  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-if not _externally_set:
-    assert jax.local_device_count() == 8, (
-        "expected 8 virtual CPU devices; got "
-        f"{jax.local_device_count()} on {jax.devices()[:1]}"
+if _externally_set:
+    _m = re.search(r"xla_force_host_platform_device_count=(\d+)", _flags)
+    _expected = int(_m.group(1)) if _m else None
+else:
+    _expected = 8
+if _expected is not None:
+    assert jax.local_device_count() == _expected, (
+        f"expected {_expected} virtual CPU devices; got "
+        f"{jax.local_device_count()} on {jax.devices()[:1]} — a backend was "
+        "likely initialized before the XLA flag could take effect"
     )
