@@ -45,7 +45,7 @@ def test_sac_trains_without_nans():
     h = make("usv-simple")
     learner = SacLearner(h, SMALL_SAC)
     ts = learner.init(seed=0)
-    assert ts.obs.shape == (8, 2 * 143)
+    assert ts.frames.reshape(8, -1).shape == (8, 2 * 143)
     ts, reward = learner.train_rounds(ts, 20)
     assert np.isfinite(float(reward))
     # past warmup (8 envs * 4 steps * 20 rounds = 640 transitions > 256)

@@ -45,7 +45,6 @@ def shard_sac_train_state(ts, mesh: Mesh, axis_name: str = "env"):
         buffer=_put_batch_axis0(ts.buffer, mesh, axis_name),
         env_state=_put_batch_axis0(ts.env_state, mesh, axis_name),
         frames=_put_batch_axis0(ts.frames, mesh, axis_name),
-        obs=_put_batch_axis0(ts.obs, mesh, axis_name),
         key=jax.device_put(ts.key, repl),
         env_steps=jax.device_put(ts.env_steps, repl),
         grad_steps=jax.device_put(ts.grad_steps, repl),

@@ -41,6 +41,11 @@ def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done):
     """Insert B transitions at the write head (wrap-around)."""
     cap = buf.obs.shape[0]
     b = obs.shape[0]
+    if b > cap:
+        raise ValueError(
+            f"batch of {b} transitions exceeds buffer capacity {cap}; "
+            "modulo indices would silently collide"
+        )
     idx = (buf.ptr + jnp.arange(b)) % cap
     return buf.replace(
         obs=buf.obs.at[idx].set(obs),

@@ -85,11 +85,20 @@ def plot_diagnostics(trace: dict, out_path: Optional[str] = None, dt: float = 1 
     pos = trace.get("position")
     ax = axes[0][0]
     if pos is not None:
-        ax.plot(pos[:, 0], pos[:, 1], label="trajectory")
-        if "path_start" in trace:
-            ps, pe = trace["path_start"][0], trace["path_end"][0]
-            ax.plot([ps[0], pe[0]], [ps[1], pe[1]], "--", label="path")
-        ax.set_title("trajectory vs path")
+        # auto-reset rollouts span several episodes with different paths —
+        # split at done boundaries and overlay each segment on ITS path
+        dones = np.asarray(trace.get("done", np.zeros(len(pos)))).astype(bool)
+        boundaries = [0] + (np.flatnonzero(dones) + 1).tolist() + [len(pos)]
+        for i, (a, b) in enumerate(zip(boundaries[:-1], boundaries[1:])):
+            if b - a < 2:
+                continue
+            ax.plot(pos[a:b, 0], pos[a:b, 1],
+                    label="trajectory" if i == 0 else None)
+            if "path_start" in trace:
+                ps, pe = trace["path_start"][a], trace["path_end"][a]
+                ax.plot([ps[0], pe[0]], [ps[1], pe[1]], "--", alpha=0.5,
+                        label="path" if i == 0 else None)
+        ax.set_title("trajectory vs path (per episode)")
         ax.legend(fontsize=8)
 
     maybe(axes[0][1], ["left_thruster", "right_thruster"], "thrusters")

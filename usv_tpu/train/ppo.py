@@ -128,7 +128,14 @@ class PpoLearner:
                 action, logp, value = self.model.sample_sde(ts.params, obs, sde)
             else:
                 action, logp, value = self.model.sample(ts.params, obs, step_key)
-            env_state, step_ts = self._auto_step(env_state, action)
+            # clip to the env's action space before stepping (the log-prob
+            # keeps the unclipped action, as SB3 does)
+            clipped = jnp.clip(
+                action,
+                jnp.asarray(self.handle.cfg.action_low),
+                jnp.asarray(self.handle.cfg.action_high),
+            )
+            env_state, step_ts = self._auto_step(env_state, clipped)
             new_frames = jnp.concatenate(
                 [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
             )
@@ -138,11 +145,25 @@ class PpoLearner:
                 jnp.tile(step_ts.obs[:, None, :], (1, frames.shape[1], 1)),
                 new_frames,
             )
+            # Time-limit (truncation) bootstrap, SB3-style: when an episode is
+            # truncated but not terminated, add gamma * V(terminal_obs) to the
+            # reward so GAE can treat every done as terminal.
+            terminal_frames = jnp.concatenate(
+                [frames[:, 1:, :],
+                 step_ts.info["terminal_observation"][:, None, :]],
+                axis=1,
+            )
+            _, _, terminal_value, _ = self.model.apply(
+                ts.params, terminal_frames.reshape(cfg.num_envs, -1)
+            )
+            truncated_only = (
+                step_ts.truncated & ~step_ts.terminated
+            ).astype(jnp.float32)
+            reward = step_ts.reward + cfg.gamma * terminal_value * truncated_only
             out = dict(
                 obs=obs, action=action, logp=logp, value=value,
-                reward=step_ts.reward,
+                reward=reward,
                 done=step_ts.done.astype(jnp.float32),
-                terminated=step_ts.terminated.astype(jnp.float32),
             )
             return (env_state, new_frames, sde), out
 
@@ -156,15 +177,20 @@ class PpoLearner:
 
     @staticmethod
     def _gae(traj, last_value, gamma, lam):
+        """A_t = delta_t + gamma*lam*(1-d_t)*A_{t+1},
+        delta_t = r_t + gamma*(1-d_t)*V_{t+1} - V_t — the bootstrap of step t
+        is masked by step t's OWN done (d_t == s_{t+1} is terminal)."""
+
         def body(carry, x):
-            adv_next, v_next, nonterm_next = carry
-            delta = x["reward"] + gamma * v_next * nonterm_next - x["value"]
-            adv = delta + gamma * lam * nonterm_next * adv_next
-            return (adv, x["value"], 1.0 - x["done"]), adv
+            adv_next, v_next = carry
+            nonterm = 1.0 - x["done"]
+            delta = x["reward"] + gamma * v_next * nonterm - x["value"]
+            adv = delta + gamma * lam * nonterm * adv_next
+            return (adv, x["value"]), adv
 
         _, advs = jax.lax.scan(
             body,
-            (jnp.zeros_like(last_value), last_value, jnp.ones_like(last_value)),
+            (jnp.zeros_like(last_value), last_value),
             traj,
             reverse=True,
         )

@@ -79,8 +79,8 @@ class SacTrainState:
     alpha_opt: optax.OptState
     buffer: ReplayBuffer
     env_state: object           # vmapped env-state pytree
-    frames: jnp.ndarray         # (B, S, obs_dim) rolling stack
-    obs: jnp.ndarray            # (B, S*obs_dim) current stacked obs
+    frames: jnp.ndarray         # (B, S, obs_dim) rolling stack; the current
+                                # stacked obs is frames.reshape(B, -1)
     key: jnp.ndarray
     env_steps: jnp.ndarray      # () int64-ish counter (int32)
     grad_steps: jnp.ndarray
@@ -165,7 +165,6 @@ class SacLearner:
             buffer=buffer_init(cfg.buffer_size, self.obs_dim, self.act_dim),
             env_state=env_state,
             frames=frames,
-            obs=frames.reshape(cfg.num_envs, -1),
             key=key,
             env_steps=jnp.zeros((), jnp.int32),
             grad_steps=jnp.zeros((), jnp.int32),
@@ -197,13 +196,15 @@ class SacLearner:
         cfg = self.cfg
 
         def one_step(carry, step_key):
-            env_state, frames, obs, buffer, env_steps, sde = carry
+            env_state, frames, buffer, env_steps, sde = carry
+            obs = frames.reshape(frames.shape[0], -1)
             random_phase = env_steps * cfg.num_envs < cfg.learning_starts
+            k_resample, k_action = jax.random.split(step_key)
             if cfg.use_sde:
                 from usv_tpu.models.sde import maybe_resample
 
-                sde = maybe_resample(sde, step_key, cfg.sde_sample_freq)
-            actions = self._policy_action(ts, obs, step_key, random_phase, sde)
+                sde = maybe_resample(sde, k_resample, cfg.sde_sample_freq)
+            actions = self._policy_action(ts, obs, k_action, random_phase, sde)
             env_state, step_ts = self._auto_step(env_state, actions)
 
             new_frames = jnp.concatenate(
@@ -226,20 +227,19 @@ class SacLearner:
                 buffer, obs, actions, step_ts.reward, next_obs_flat,
                 step_ts.terminated.astype(jnp.float32),
             )
-            new_obs = new_frames.reshape(obs.shape[0], -1)
             return (
-                (env_state, new_frames, new_obs, buffer, env_steps + 1, sde),
+                (env_state, new_frames, buffer, env_steps + 1, sde),
                 jnp.sum(step_ts.reward),
             )
 
         keys = jax.random.split(key, cfg.train_freq)
-        (env_state, frames, obs, buffer, env_steps, sde), rewards = jax.lax.scan(
+        (env_state, frames, buffer, env_steps, sde), rewards = jax.lax.scan(
             one_step,
-            (ts.env_state, ts.frames, ts.obs, ts.buffer, ts.env_steps, ts.sde),
+            (ts.env_state, ts.frames, ts.buffer, ts.env_steps, ts.sde),
             keys,
         )
         ts = ts.replace(
-            env_state=env_state, frames=frames, obs=obs,
+            env_state=env_state, frames=frames,
             buffer=buffer, env_steps=env_steps, sde=sde,
         )
         return ts, jnp.sum(rewards)
@@ -376,12 +376,16 @@ class SacLearner:
         The jitted rollout is cached per (n_steps, num_envs) — a fresh jit
         per call would recompile every evaluation (tens of seconds on TPU).
         """
+        if (n_steps, num_envs) not in self._jit_eval:
+            self._jit_eval[(n_steps, num_envs)] = self._build_eval(
+                n_steps, num_envs
+            )
+        run = self._jit_eval[(n_steps, num_envs)]
+        return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))
+
+    def _build_eval(self, n_steps, num_envs):
         cfg = self.cfg
         handle = self.handle
-
-        if (n_steps, num_envs) in self._jit_eval:
-            run = self._jit_eval[(n_steps, num_envs)]
-            return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))
 
         @jax.jit
         def run(actor_params, key):
@@ -409,5 +413,4 @@ class SacLearner:
             _, rewards = jax.lax.scan(body, (env_state, frames), None, length=n_steps)
             return jnp.mean(rewards)
 
-        self._jit_eval[(n_steps, num_envs)] = run
-        return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))
+        return run
