@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from usv_tpu.core.angles import wrap_angle_once
+from usv_tpu.core.angles import wrap_angle, wrap_angle_once
 from usv_tpu.physics.dynamics import (
     DynamicsState,
     dynamics_step,
@@ -61,11 +61,12 @@ class AsmcState:
     unpacked into named scalars (each may carry a batch shape).
     """
 
+    # Note: the reference's so_filter packs o_last/o_dot_last separately
+    # (control/usv_asmc.py:90-92), but they are always written equal to
+    # o/o_dot at iteration end, so they are not stored twice here.
     psi_d_last: jnp.ndarray
     o: jnp.ndarray
-    o_last: jnp.ndarray
     o_dot: jnp.ndarray
-    o_dot_last: jnp.ndarray
     o_dot_dot_last: jnp.ndarray
     e_u_last: jnp.ndarray
     e_u_int: jnp.ndarray
@@ -78,7 +79,7 @@ class AsmcState:
 def init_asmc(batch_shape=(), dtype=jnp.float32) -> AsmcState:
     z = jnp.zeros(batch_shape, dtype=dtype)
     return AsmcState(
-        psi_d_last=z, o=z, o_last=z, o_dot=z, o_dot_last=z, o_dot_dot_last=z,
+        psi_d_last=z, o=z, o_dot=z, o_dot_dot_last=z,
         e_u_last=z, e_u_int=z, ka_u=z, ka_psi=z,
         ka_dot_u_last=z, ka_dot_psi_last=z,
     )
@@ -116,9 +117,9 @@ def asmc_control(
 
     # Second-order filter for the desired yaw rate r_d (reference :84-92)
     r_d_raw = (psi_d - state.psi_d_last) / dt
-    o_dot_dot = ((r_d_raw - state.o_last) * gains.f1 - gains.f3 * state.o_dot_last) * gains.f2
+    o_dot_dot = ((r_d_raw - state.o) * gains.f1 - gains.f3 * state.o_dot) * gains.f2
     o_dot = 0.5 * dt * (o_dot_dot + state.o_dot_dot_last) + state.o_dot
-    o = 0.5 * dt * (o_dot + state.o_dot_last) + state.o
+    o = 0.5 * dt * (o_dot + state.o_dot) + state.o
     r_d = o
 
     # Simplified surge/yaw model terms f, g (reference :110-116)
@@ -128,8 +129,14 @@ def asmc_control(
     f_u = ((vparams.m - vparams.Y_v_dot) * v * r + (Xuu * jnp.abs(u) + Xu * u)) * g_u
     f_psi = ((-vparams.X_u_dot + vparams.Y_v_dot) * u * v + Nr * r) * g_psi
 
-    # Errors (reference :119-129); single-branch wrap kept for parity
-    e_psi = wrap_angle_once(psi_d - psi)
+    # Errors (reference :119-129); single-branch wrap kept for parity with
+    # the Python reference in offset mode. In absolute mode psi is unbounded
+    # (nothing wraps the dynamics' pose), so the total atan2 wrap is required
+    # — wrap_once is wrong by 2*pi multiples once |psi| exceeds 3*pi.
+    if absolute_heading:
+        e_psi = wrap_angle(psi_d - psi)
+    else:
+        e_psi = wrap_angle_once(psi_d - psi)
     e_psi_dot = r_d - r
     e_u = u_d - u
     e_u_int = 0.5 * dt * (e_u + state.e_u_last) + state.e_u_int
@@ -167,8 +174,7 @@ def asmc_control(
 
     new_state = AsmcState(
         psi_d_last=psi_d,
-        o=o, o_last=o, o_dot=o_dot, o_dot_last=o_dot,
-        o_dot_dot_last=o_dot_dot,
+        o=o, o_dot=o_dot, o_dot_dot_last=o_dot_dot,
         e_u_last=e_u, e_u_int=e_u_int,
         ka_u=ka_u, ka_psi=ka_psi,
         ka_dot_u_last=ka_dot_u, ka_dot_psi_last=ka_dot_psi,

@@ -41,7 +41,8 @@ class PidGains:
     kd_psi: float = 10.0
     thrust_limit: float = 30.0
     # Reference quirk: e_u_last is never written back (see module docstring).
-    freeze_e_u_last: bool = True
+    # Static (not a pytree leaf): it is branched on with Python `if`.
+    freeze_e_u_last: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass

@@ -47,7 +47,7 @@ from usv_tpu.control.asmc import (
 from usv_tpu.core.angles import wrap_angle
 from usv_tpu.core.geometry import denormalize_val
 from usv_tpu.envs.types import TimeStep
-from usv_tpu.ops.raycast import raycast, raycast_first_hit_compat
+from usv_tpu.ops.dispatch import sensor_raycast
 from usv_tpu.physics.dynamics import DynamicsState
 from usv_tpu.physics.params import VehicleParams
 
@@ -118,7 +118,7 @@ class CaEnvState:
 
 def _build_core(cfg: CaEnvConfig, key) -> CaEnvState:
     """Sample start/target/obstacles — reference reset :327-398 (pre-step)."""
-    keys = jax.random.split(key, 7)
+    keys = jax.random.split(key, 8)  # keys[7] stays unconsumed (state key)
     x = jax.random.uniform(keys[0], minval=cfg.min_x, maxval=cfg.max_x)
     y = jax.random.uniform(keys[1], minval=cfg.min_y, maxval=cfg.min_y + 5.0)
     theta = jax.random.uniform(keys[2], minval=-np.pi / 4, maxval=np.pi / 4)
@@ -146,7 +146,7 @@ def _build_core(cfg: CaEnvConfig, key) -> CaEnvState:
     mask = mask & (d_start >= 0) & (d_tgt >= 0)
 
     return CaEnvState(
-        key=key,
+        key=keys[7],
         ctrl=init_asmc(),
         dyn=DynamicsState(
             pose=pose.astype(jnp.float32),
@@ -227,28 +227,12 @@ def step(
     collision = any_obs & (jnp.min(masked_boundary) < 0.0)
 
     # Lidar (:249-259); ordering key is the boundary distance
-    backend = cfg.raycast_backend
-    if backend == "auto":
-        backend = "xla" if jax.default_backend() in ("cpu", "gpu") else "pallas"
-    if backend == "pallas":
-        from usv_tpu.ops.raycast_pallas import make_raycast_compat
-
-        fn = make_raycast_compat(
-            cfg.sensor_num, cfg.sensor_max_range, cfg.sensor_span,
-            first_hit=cfg.strict_compat_raycast,
-        )
-        sensor_dist = fn(pose, state.obs_xy, state.obs_r, state.obs_mask, boundary)
-    elif cfg.strict_compat_raycast:
-        sensor_dist = raycast_first_hit_compat(
-            pose, state.obs_xy, state.obs_r, state.obs_mask,
-            cfg.sensor_num, cfg.sensor_max_range, cfg.sensor_span,
-            boundary_distance=boundary,
-        )
-    else:
-        sensor_dist = raycast(
-            pose, state.obs_xy, state.obs_r, state.obs_mask,
-            cfg.sensor_num, cfg.sensor_max_range, cfg.sensor_span,
-        )
+    sensor_dist = sensor_raycast(
+        pose, state.obs_xy, state.obs_r, state.obs_mask, boundary,
+        cfg.sensor_num, cfg.sensor_max_range, cfg.sensor_span,
+        strict_compat=cfg.strict_compat_raycast,
+        backend=cfg.raycast_backend,
+    )
     sensors_norm = sensor_dist / cfg.sensor_max_range
 
     # Guidance errors (:261-270)

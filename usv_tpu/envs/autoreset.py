@@ -61,11 +61,9 @@ def make_autoreset_step(
         new_state, ts = step_fn(cfg, state, action)
         done = ts.done
 
-        # env resets store the key they consumed, so derive a fresh stream
-        # before splitting (avoids reusing the bits reset already drew from)
-        next_key, reset_key = jax.random.split(
-            jax.random.fold_in(_get_key(new_state), 0x5EED)
-        )
+        # env resets store an UNCONSUMED child key (see each reset), so
+        # splitting it here never reuses bits already drawn during reset
+        next_key, reset_key = jax.random.split(_get_key(new_state))
         fresh = _set_key(reset_fn(cfg, reset_key), next_key)
 
         out_state = _select(done, fresh, _set_key(new_state, next_key))

@@ -40,7 +40,7 @@ from usv_tpu.control.aitsmc import (
 )
 from usv_tpu.core.angles import wrap_angle
 from usv_tpu.envs.types import TimeStep
-from usv_tpu.ops.raycast import raycast, raycast_first_hit_compat
+from usv_tpu.ops.dispatch import sensor_raycast
 from usv_tpu.physics.dynamics import DynamicsState
 from usv_tpu.physics.params import VehicleParams
 from usv_tpu.utils.path_gen import PchipPath, pchip_eval, pchip_fit
@@ -63,6 +63,7 @@ class CurvedEnvConfig:
     sensor_max_range: float = 100.0
     sensor_span: float = (2.0 / 3.0) * 2.0 * np.pi
     strict_compat_raycast: bool = True
+    raycast_backend: str = "auto"  # see SimpleEnvConfig.raycast_backend
     # AITSMC substep loop
     n_substeps: int = 5
     substep_dt: float = 0.01
@@ -109,7 +110,7 @@ class CurvedEnvState:
 
 
 def reset(cfg: CurvedEnvConfig, key) -> CurvedEnvState:
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)  # ks[8] stays unconsumed (state key)
 
     # random polar waypoints -> cumsum (path_gen.py:6-12 semantics)
     angles = jnp.clip(
@@ -148,7 +149,7 @@ def reset(cfg: CurvedEnvConfig, key) -> CurvedEnvState:
     obs_mask = (obs_r > 0.05) & (d_start > 1.5) & (jnp.arange(K) < n_obs)
 
     return CurvedEnvState(
-        key=key,
+        key=ks[8],
         ctrl=init_aitsmc(),
         dyn=DynamicsState(
             pose=pose.astype(jnp.float32),
@@ -228,17 +229,12 @@ def step(
         jnp.hypot(state.obs_xy[:, 0] - pose[0], state.obs_xy[:, 1] - pose[1])
         - state.obs_r
     )
-    if cfg.strict_compat_raycast:
-        sensor_dist = raycast_first_hit_compat(
-            pose, state.obs_xy, state.obs_r, state.obs_mask,
-            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
-            boundary_distance=boundary,
-        )
-    else:
-        sensor_dist = raycast(
-            pose, state.obs_xy, state.obs_r, state.obs_mask,
-            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
-        )
+    sensor_dist = sensor_raycast(
+        pose, state.obs_xy, state.obs_r, state.obs_mask, boundary,
+        cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
+        strict_compat=cfg.strict_compat_raycast,
+        backend=cfg.raycast_backend,
+    )
     state = state.replace(sensor_dist=sensor_dist)
 
     target = _lookahead_target(cfg, state)

@@ -131,16 +131,14 @@ class LegacyState:
 
 def _observe(vel, pose, target, ye, psi_ak, action_last):
     """state = [u, v_ak, r, ye, psi_ak, action_last] (usv_asmc_env.py:247)."""
-    u_ak = jnp.cos(psi_ak) * vel[0] - jnp.sin(psi_ak) * vel[1]
     v_ak = jnp.sin(psi_ak) * vel[0] + jnp.cos(psi_ak) * vel[1]
-    del u_ak
     return jnp.stack([vel[0], v_ak, vel[2], ye, psi_ak, action_last]).astype(
         jnp.float32
     )
 
 
 def _legacy_reset(cfg, key, pos_range, speed_range):
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 8)  # ks[7] stays unconsumed (state key)
     x = jax.random.uniform(ks[0], minval=-pos_range, maxval=pos_range)
     y = jax.random.uniform(ks[1], minval=-pos_range, maxval=pos_range)
     psi = jax.random.uniform(ks[2], minval=-np.pi, maxval=np.pi)
@@ -156,7 +154,7 @@ def _legacy_reset(cfg, key, pos_range, speed_range):
     z = jnp.zeros((), jnp.float32)
     pose = jnp.stack([x, y, psi]).astype(jnp.float32)
     return LegacyState(
-        key=key,
+        key=ks[7],
         dyn=DynamicsState(
             pose=pose,
             vel=jnp.zeros(3, jnp.float32),
@@ -333,7 +331,9 @@ def reset_obs_asmc(cfg, state):
 # ---- usv-pid-v0 -------------------------------------------------------------
 
 def reset_pid(cfg: LegacyPidConfig, key) -> LegacyState:
-    return _legacy_reset(cfg, key, pos_range=2.5, speed_range=(1.4, 2.4))
+    # desired_speed ~ uniform(0.4, 1.4) — usv_pid_env.py:257 (slower than the
+    # ASMC env's 1.4-2.4)
+    return _legacy_reset(cfg, key, pos_range=2.5, speed_range=(0.4, 1.4))
 
 
 def step_pid(cfg: LegacyPidConfig, state, action):

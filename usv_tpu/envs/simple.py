@@ -41,7 +41,7 @@ from flax import struct
 from usv_tpu.core.angles import wrap_angle
 from usv_tpu.core.geometry import closest_point_on_segment, cross_track_error
 from usv_tpu.envs.types import TimeStep
-from usv_tpu.ops.raycast import raycast, raycast_first_hit_compat
+from usv_tpu.ops.dispatch import sensor_raycast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,30 +117,12 @@ def _sensor_sweep(cfg: SimpleEnvConfig, state: SimpleEnvState):
     boundary = jnp.hypot(n[..., 0], n[..., 1]) - state.obs_r
     masked_boundary = jnp.where(state.obs_mask, boundary, jnp.inf)
 
-    backend = cfg.raycast_backend
-    if backend == "auto":
-        backend = "xla" if jax.default_backend() in ("cpu", "gpu") else "pallas"
-    if backend == "pallas":
-        from usv_tpu.ops.raycast_pallas import make_raycast_compat
-
-        fn = make_raycast_compat(
-            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
-            first_hit=cfg.strict_compat_raycast,
-        )
-        dist = fn(
-            state.position, state.obs_xy, state.obs_r, state.obs_mask, boundary
-        )
-    elif cfg.strict_compat_raycast:
-        dist = raycast_first_hit_compat(
-            state.position, state.obs_xy, state.obs_r, state.obs_mask,
-            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
-            boundary_distance=boundary,
-        )
-    else:
-        dist = raycast(
-            state.position, state.obs_xy, state.obs_r, state.obs_mask,
-            cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
-        )
+    dist = sensor_raycast(
+        state.position, state.obs_xy, state.obs_r, state.obs_mask, boundary,
+        cfg.sensor_count, cfg.sensor_max_range, cfg.sensor_span,
+        strict_compat=cfg.strict_compat_raycast,
+        backend=cfg.raycast_backend,
+    )
 
     if cfg.ignore_obstacles:
         # reference :222-224: distances forced clear
@@ -260,7 +242,7 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     Distributions match the reference; draws use independent jax.random
     folds rather than a serial NumPy stream.
     """
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)  # keys[12] stays unconsumed (state key)
     half = cfg.env_bound / 2.0
 
     path_start = jax.random.normal(keys[0], (2,)) * 0.5 + half
@@ -297,9 +279,10 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
         # reset option 'place_obstacles_on_path' (reference :276-288):
         # normally-jittered points along the path direction.
         kp = jax.random.split(keys[11], 3)
+        # bound is np.hypot(*env_bounds) = hypot(0, env_bound) = env_bound
+        # (reference simple_env.py:281 with env_bounds=(0, 20))
         mag = jax.random.uniform(
-            kp[0], (cfg.path_obstacles,), minval=0.0,
-            maxval=float(np.hypot(cfg.env_bound, cfg.env_bound)),
+            kp[0], (cfg.path_obstacles,), minval=0.0, maxval=cfg.env_bound,
         )
         line = path_start + jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1) * mag[:, None]
         path_obs = line + jax.random.normal(kp[1], (cfg.path_obstacles, 2))
@@ -324,7 +307,7 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     keep = jnp.where(jnp.any(keep), keep, obs_mask & (slot == 0))
 
     return SimpleEnvState(
-        key=key,
+        key=keys[12],
         position=position.astype(jnp.float32),
         velocity=velocity.astype(jnp.float32),
         last_action=jnp.zeros(3, dtype=jnp.float32),

@@ -174,11 +174,18 @@ def make_raycast_compat(sensor_count, sensor_max_range, sensor_span, first_hit=T
 
     @fn.def_vmap
     def _vmap_rule(axis_size, in_batched, position, obs_xy, obs_r, obs_mask, boundary):
-        del axis_size, in_batched
+        # broadcast any unbatched operand (e.g. many boats sharing one
+        # obstacle field) to the batch axis before the batched kernel
+        args = [
+            a if batched else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, batched in zip(
+                (position, obs_xy, obs_r, obs_mask, boundary), in_batched
+            )
+        ]
         out = raycast_pallas_batched(
-            position, obs_xy, obs_r, obs_mask,
+            args[0], args[1], args[2], args[3],
             sensor_count, sensor_max_range, sensor_span,
-            boundary_distance=boundary, first_hit=first_hit,
+            boundary_distance=args[4], first_hit=first_hit,
         )
         return out, True
 
