@@ -77,6 +77,29 @@ def test_sac_actions_within_bounds():
     assert np.all(np.isfinite(np.asarray(logp)))
 
 
+def test_sac_fused_updates_and_bf16():
+    """Throughput modes: fused gradient_steps*batch update + bf16 matmuls.
+
+    Learning math must stay finite and grad_steps must count 1 actual
+    update per post-warmup round in fused mode.
+    """
+    cfg = dataclasses.replace(
+        SMALL_SAC, fused_updates=True, compute_dtype="bfloat16"
+    )
+    h = make("usv-simple")
+    learner = SacLearner(h, cfg)
+    ts = learner.init(seed=0)
+    # params stay f32 even with bf16 compute
+    assert jax.tree.leaves(ts.actor_params)[0].dtype == jnp.float32
+    ts, reward = learner.train_rounds(ts, 20)
+    assert np.isfinite(float(reward))
+    # updates start once env_steps*num_envs >= learning_starts, i.e. from
+    # round 8 of 20 (checked post-collection): rounds 8..20 => 13 updates
+    assert int(ts.grad_steps) == 13
+    leaf = jax.tree.leaves(ts.actor_params)[0]
+    assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 SMALL_PPO = PpoConfig(
     n_steps=64,
     batch_size=32,

@@ -46,6 +46,8 @@ class PpoConfig:
     sde_sample_freq: int = 4     # config.py:5
     num_envs: int = 16
     frame_stack: int = 5
+    # bf16 MLP matmuls on the MXU (params/optimizer stay f32)
+    compute_dtype: str = "float32"
 
 
 @struct.dataclass
@@ -72,6 +74,7 @@ class PpoLearner:
             vf_hidden=config.vf_hidden,
             log_std_init=config.log_std_init,
             use_sde=config.use_sde,
+            compute_dtype=jnp.dtype(config.compute_dtype),
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),

@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-every-iters", type=int, default=20)
     p.add_argument("--ignore-obstacles", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MLP compute on the MXU (params stay f32)")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -38,6 +40,7 @@ def main(argv=None):
         learning_rate=args.lr,
         num_envs=args.num_envs,
         frame_stack=args.frame_stack,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     learner = PpoLearner(handle, cfg)
     ts = learner.init(seed=args.seed)

@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--ignore-obstacles", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="shard env batch + replay over all local devices")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MLP compute on the MXU (params stay f32)")
+    p.add_argument("--fused-updates", action="store_true",
+                   help="one gradient_steps*batch update per round instead "
+                        "of gradient_steps sequential updates")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -62,6 +67,8 @@ def main(argv=None):
         lambda_t=args.lambda_t,
         lambda_s=args.lambda_s,
         eps_s=args.eps_s,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        fused_updates=args.fused_updates,
     )
     learner = SacLearner(handle, cfg)
     ts = learner.init(seed=args.seed)

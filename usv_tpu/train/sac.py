@@ -63,6 +63,15 @@ class SacConfig:
     # vector-env setup
     num_envs: int = 64
     frame_stack: int = 5        # FrameStack(5), sb3_train.py:51
+    # TPU throughput options (beyond the reference's SB3 semantics):
+    # compute_dtype="bfloat16" runs the MLP matmuls on the MXU in bf16
+    # (params and optimizer state stay f32); fused_updates replaces the
+    # gradient_steps sequential updates per round with ONE update on a
+    # gradient_steps*batch_size batch — same sample:update FLOP ratio,
+    # 1/gradient_steps the sequential depth (the latency bound at SB3-like
+    # tiny batches, docs/PERFORMANCE.md).
+    compute_dtype: str = "float32"
+    fused_updates: bool = False
     # action bounds; None derives them from the env config
     action_low: Optional[Tuple[float, ...]] = None
     action_high: Optional[Tuple[float, ...]] = None
@@ -105,6 +114,7 @@ class SacLearner:
             else env_cfg.action_high
         )
 
+        compute_dtype = jnp.dtype(config.compute_dtype)
         self.actor = SquashedGaussianActor(
             action_dim=self.act_dim,
             hidden=config.hidden,
@@ -112,8 +122,11 @@ class SacLearner:
             action_low=self.action_low,
             action_high=self.action_high,
             use_sde=config.use_sde,
+            compute_dtype=compute_dtype,
         )
-        self.critic = DoubleCritic(hidden=config.hidden)
+        self.critic = DoubleCritic(
+            hidden=config.hidden, compute_dtype=compute_dtype
+        )
         self.target_entropy = -float(self.act_dim)  # SB3 'auto'
 
         self.actor_tx = optax.adam(config.learning_rate)
@@ -287,10 +300,12 @@ class SacLearner:
         loss = sac_loss + cfg.lambda_t * caps_t + cfg.lambda_s * caps_s
         return loss, (jnp.mean(logp), sac_loss, caps_t, caps_s)
 
-    def _update_once(self, ts: SacTrainState, key):
+    def _update_once(self, ts: SacTrainState, key, batch_size=None):
         cfg = self.cfg
         k_batch, k_critic, k_actor, k_next = jax.random.split(key, 4)
-        batch = buffer_sample(ts.buffer, k_batch, cfg.batch_size)
+        batch = buffer_sample(
+            ts.buffer, k_batch, batch_size or cfg.batch_size
+        )
 
         critic_grads = jax.grad(self._critic_loss)(
             ts.critic_params, ts, batch, k_critic
@@ -345,6 +360,14 @@ class SacLearner:
             past_warmup = ts.env_steps * cfg.num_envs >= cfg.learning_starts
 
             def do_updates(ts):
+                if cfg.fused_updates:
+                    # one MXU-sized update instead of gradient_steps tiny
+                    # sequential ones (same data:update ratio; grad_steps
+                    # counts actual updates, so 1 per round in this mode)
+                    return self._update_once(
+                        ts, k_update,
+                        batch_size=cfg.gradient_steps * cfg.batch_size,
+                    )
                 def body(ts, uk):
                     return self._update_once(ts, uk), None
                 ts, _ = jax.lax.scan(
