@@ -107,6 +107,18 @@ def test_generate_path_and_obstacles():
     assert np.isfinite(float(y))
 
 
+def test_plot_path_renders():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from usv_tpu.utils import plot_path
+
+    path, wps = generate_path(jax.random.key(0), [0.0, 0.0], 8)
+    obstacles, _ = place_obstacles(jax.random.key(1), path, wps, 10)
+    ax = plot_path(path, wps, obstacles, show=False)
+    assert len(ax.lines) == 1 and len(ax.collections) == 2
+
+
 def test_live_filter_matches_scan():
     from scipy import signal
 

@@ -100,6 +100,21 @@ def test_sac_fused_updates_and_bf16():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_sac_partial_update_fusion():
+    """update_fusion=k: gradient_steps/k sequential updates of k*batch."""
+    cfg = dataclasses.replace(SMALL_SAC, gradient_steps=4, update_fusion=2)
+    h = make("usv-simple")
+    learner = SacLearner(h, cfg)
+    ts = learner.init(seed=0)
+    ts, reward = learner.train_rounds(ts, 10)
+    assert np.isfinite(float(reward))
+    # rounds 8..10 past warmup, 2 updates each
+    assert int(ts.grad_steps) == 6
+    with pytest.raises(ValueError):
+        bad = dataclasses.replace(SMALL_SAC, gradient_steps=4, update_fusion=3)
+        SacLearner(h, bad).train_rounds(learner.init(seed=1), 2)
+
+
 SMALL_PPO = PpoConfig(
     n_steps=64,
     batch_size=32,

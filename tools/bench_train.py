@@ -26,6 +26,7 @@ MODES = {
     "bf16": dict(compute_dtype="bfloat16"),
     "fused": dict(fused_updates=True),
     "fused_bf16": dict(fused_updates=True, compute_dtype="bfloat16"),
+    "fusion8": dict(update_fusion=8),
 }
 
 

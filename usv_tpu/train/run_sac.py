@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--fused-updates", action="store_true",
                    help="one gradient_steps*batch update per round instead "
                         "of gradient_steps sequential updates")
+    p.add_argument("--update-fusion", type=int, default=1,
+                   help="fold k sequential updates into one k*batch update "
+                        "(k must divide gradient-steps)")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -69,6 +72,7 @@ def main(argv=None):
         eps_s=args.eps_s,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         fused_updates=args.fused_updates,
+        update_fusion=args.update_fusion,
     )
     learner = SacLearner(handle, cfg)
     ts = learner.init(seed=args.seed)

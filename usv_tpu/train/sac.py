@@ -65,13 +65,16 @@ class SacConfig:
     frame_stack: int = 5        # FrameStack(5), sb3_train.py:51
     # TPU throughput options (beyond the reference's SB3 semantics):
     # compute_dtype="bfloat16" runs the MLP matmuls on the MXU in bf16
-    # (params and optimizer state stay f32); fused_updates replaces the
-    # gradient_steps sequential updates per round with ONE update on a
-    # gradient_steps*batch_size batch — same sample:update FLOP ratio,
-    # 1/gradient_steps the sequential depth (the latency bound at SB3-like
-    # tiny batches, docs/PERFORMANCE.md).
+    # (params and optimizer state stay f32). update_fusion=k folds k of the
+    # gradient_steps sequential updates into one update on a k*batch_size
+    # batch: same sample:update FLOP ratio, 1/k the sequential depth (the
+    # latency bound at SB3-like tiny batches) — but also 1/k the optimizer
+    # steps, so large k trades sample efficiency for wall-clock (measured in
+    # docs/PERFORMANCE.md; consider scaling the lr with k). fused_updates=True
+    # is shorthand for full fusion (k = gradient_steps).
     compute_dtype: str = "float32"
     fused_updates: bool = False
+    update_fusion: int = 1
     # action bounds; None derives them from the env config
     action_low: Optional[Tuple[float, ...]] = None
     action_high: Optional[Tuple[float, ...]] = None
@@ -359,19 +362,31 @@ class SacLearner:
 
             past_warmup = ts.env_steps * cfg.num_envs >= cfg.learning_starts
 
+            fusion = (
+                cfg.gradient_steps if cfg.fused_updates
+                else max(1, cfg.update_fusion)
+            )
+            if cfg.gradient_steps % fusion:
+                raise ValueError(
+                    f"update_fusion={fusion} must divide "
+                    f"gradient_steps={cfg.gradient_steps}"
+                )
+            n_updates = cfg.gradient_steps // fusion
+
             def do_updates(ts):
-                if cfg.fused_updates:
-                    # one MXU-sized update instead of gradient_steps tiny
-                    # sequential ones (same data:update ratio; grad_steps
-                    # counts actual updates, so 1 per round in this mode)
+                # n_updates MXU-sized updates instead of gradient_steps tiny
+                # sequential ones (same data:update ratio; grad_steps counts
+                # actual updates, so n_updates per round)
+                if n_updates == 1:
                     return self._update_once(
-                        ts, k_update,
-                        batch_size=cfg.gradient_steps * cfg.batch_size,
+                        ts, k_update, batch_size=fusion * cfg.batch_size
                     )
                 def body(ts, uk):
-                    return self._update_once(ts, uk), None
+                    return self._update_once(
+                        ts, uk, batch_size=fusion * cfg.batch_size
+                    ), None
                 ts, _ = jax.lax.scan(
-                    body, ts, jax.random.split(k_update, cfg.gradient_steps)
+                    body, ts, jax.random.split(k_update, n_updates)
                 )
                 return ts
 

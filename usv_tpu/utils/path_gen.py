@@ -167,3 +167,29 @@ def simplified_lookahead(path: PchipPath, waypoints, current_x, lookahead):
     """x + lookahead clamped to the path start (reference path_gen.py:50-54)."""
     x = jnp.maximum(current_x + lookahead, waypoints[0][0])
     return x, pchip_eval(path, x)
+
+
+def plot_path(path: PchipPath, waypoints, obstacles, show: bool = True):
+    """Matplotlib debug plot of a path + waypoints + obstacles
+    (reference path_gen.py:41-47). Host-side, eval/debug only.
+
+    Returns the matplotlib axes (and shows the figure when ``show``).
+    """
+    import matplotlib
+
+    if show is False:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    waypoints = np.asarray(waypoints)
+    obstacles = np.asarray(obstacles)
+    xs = np.linspace(waypoints[0, 0], waypoints[-1, 0])
+    ys = np.asarray(pchip_eval(path, jnp.asarray(xs, jnp.float32)))
+    ax = plt.gca()
+    ax.plot(xs, ys)
+    ax.scatter(waypoints[:, 0], waypoints[:, 1])
+    if len(obstacles):
+        ax.scatter(obstacles[:, 0], obstacles[:, 1], s=obstacles[:, 2] * 10)
+    if show:
+        plt.show()
+    return ax
