@@ -137,6 +137,29 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_policy_export_roundtrip(tmp_path):
+    from usv_tpu.train.policy import export_policy, load_policy
+
+    h = make("usv-simple")
+    sac = SacLearner(h, SMALL_SAC)
+    ts = sac.init(seed=0)
+    export_policy(sac, ts, tmp_path / "sac_pol")
+    pol = load_policy(tmp_path / "sac_pol")
+    obs = np.random.default_rng(0).normal(size=(5, sac.obs_dim)).astype(np.float32)
+    want = sac.actor.deterministic(ts.actor_params, jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(pol(obs)), np.asarray(want), atol=1e-6)
+    # single obs squeezes
+    assert pol(obs[0]).shape == (sac.act_dim,)
+
+    ppo = PpoLearner(h, SMALL_PPO)
+    pts = ppo.init(seed=0)
+    export_policy(ppo, pts, tmp_path / "ppo_pol")
+    ppol = load_policy(tmp_path / "ppo_pol")
+    mean, _, _, _ = ppo.model.apply(pts.params, jnp.asarray(obs))
+    want = np.clip(np.asarray(mean), h.cfg.action_low, h.cfg.action_high)
+    np.testing.assert_allclose(np.asarray(ppol(obs)), want, atol=1e-6)
+
+
 def test_ppo_improves_on_cheap_env():
     # A couple of iterations should not degrade to NaN/-inf and the mean
     # reward signal should be sane on usv-simple.

@@ -1,0 +1,139 @@
+"""Standalone policy bundles: export a trained actor for deployment.
+
+The reference's deployment artifact is an SB3 ``model.zip`` reloaded with
+SB3 itself (``notebooks/plot_agent_aitsmc_vec.ipynb`` cell 2); serving a
+policy therefore drags in the whole training stack. Here a bundle is just
+the actor parameters (orbax) plus a small JSON of architecture metadata —
+:func:`load_policy` rebuilds a pure jitted ``obs -> action`` function with
+no learner, env, or replay machinery attached, suitable for an on-vehicle
+control loop or batch inference server.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def export_policy(learner, train_state, path) -> str:
+    """Save the deterministic policy of a Sac/Ppo learner to ``path``.
+
+    Stores actor params + everything needed to rebuild the network.
+    """
+    from usv_tpu.train.ppo import PpoLearner
+    from usv_tpu.train.sac import SacLearner
+
+    path = Path(path).absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    if isinstance(learner, SacLearner):
+        meta = dict(
+            kind="sac",
+            obs_dim=learner.obs_dim,
+            action_dim=learner.act_dim,
+            hidden=list(learner.cfg.hidden),
+            log_std_init=learner.cfg.log_std_init,
+            action_low=list(learner.action_low),
+            action_high=list(learner.action_high),
+            use_sde=learner.cfg.use_sde,
+            frame_stack=learner.cfg.frame_stack,
+        )
+        params = train_state.actor_params
+    elif isinstance(learner, PpoLearner):
+        meta = dict(
+            kind="ppo",
+            obs_dim=learner.obs_dim,
+            action_dim=learner.act_dim,
+            pi_hidden=list(learner.cfg.pi_hidden),
+            vf_hidden=list(learner.cfg.vf_hidden),
+            log_std_init=learner.cfg.log_std_init,
+            action_low=list(np.asarray(learner.handle.cfg.action_low, float)),
+            action_high=list(np.asarray(learner.handle.cfg.action_high, float)),
+            use_sde=learner.cfg.use_sde,
+            frame_stack=learner.cfg.frame_stack,
+        )
+        params = train_state.params
+    else:
+        raise TypeError(f"unsupported learner type {type(learner)!r}")
+
+    (path / "policy.json").write_text(json.dumps(meta, indent=1))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "params", jax.device_get(params), force=True)
+    return str(path)
+
+
+class Policy:
+    """A reloaded deterministic policy: ``policy(obs) -> action``.
+
+    ``obs`` is the (frame-stacked) observation vector ``(obs_dim,)`` or a
+    batch ``(B, obs_dim)``; actions come back in env units (already scaled
+    to the exported action bounds). PPO bundles clip the Gaussian mean to
+    the action bounds, matching how collection clips before stepping.
+    """
+
+    def __init__(self, meta: dict, params):
+        self.meta = meta
+        self.params = params
+        self.obs_dim = meta["obs_dim"]
+        self.action_dim = meta["action_dim"]
+        self.frame_stack = meta["frame_stack"]
+
+        if meta["kind"] == "sac":
+            from usv_tpu.models.mlp import SquashedGaussianActor
+
+            net = SquashedGaussianActor(
+                action_dim=meta["action_dim"],
+                hidden=tuple(meta["hidden"]),
+                log_std_init=meta["log_std_init"],
+                action_low=tuple(meta["action_low"]),
+                action_high=tuple(meta["action_high"]),
+                use_sde=meta["use_sde"],
+            )
+
+            def act(params, obs):
+                return net.deterministic(params, obs)
+        else:
+            from usv_tpu.models.mlp import PpoActorCritic
+
+            net = PpoActorCritic(
+                action_dim=meta["action_dim"],
+                pi_hidden=tuple(meta["pi_hidden"]),
+                vf_hidden=tuple(meta["vf_hidden"]),
+                log_std_init=meta["log_std_init"],
+                use_sde=meta["use_sde"],
+            )
+            low = jnp.asarray(meta["action_low"], jnp.float32)
+            high = jnp.asarray(meta["action_high"], jnp.float32)
+
+            def act(params, obs):
+                mean, _, _, _ = net.apply(params, obs)
+                return jnp.clip(mean, low, high)
+
+        self._net = net
+        self._act = jax.jit(act)
+
+    def __call__(self, obs):
+        obs = jnp.asarray(obs, jnp.float32)
+        squeeze = obs.ndim == 1
+        out = self._act(self.params, obs[None] if squeeze else obs)
+        return out[0] if squeeze else out
+
+
+def load_policy(path) -> Policy:
+    """Load a bundle written by :func:`export_policy`."""
+    path = Path(path).absolute()
+    meta = json.loads((path / "policy.json").read_text())
+
+    # rebuild an abstract params template by initializing the network once
+    dummy = Policy(meta, params=None)
+    template = dummy._net.init(
+        jax.random.key(0), jnp.zeros((1, meta["obs_dim"]))
+    )
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(path / "params", abstract)
+    return Policy(meta, params)

@@ -64,6 +64,9 @@ def main(argv=None):
         if args.checkpoint_every_iters and it % args.checkpoint_every_iters == 0:
             save_checkpoint(f"{args.logdir}/ckpt", ts, it * steps_per_iter)
     save_checkpoint(f"{args.logdir}/ckpt", ts, it * steps_per_iter)
+    from usv_tpu.train.policy import export_policy
+
+    export_policy(learner, ts, f"{args.logdir}/policy")
     logger.close()
 
 

@@ -106,6 +106,9 @@ def main(argv=None):
             save_checkpoint(f"{args.logdir}/ckpt", ts, env_steps)
         t0 = time.time()  # exclude eval/checkpoint from the next block's rate
     save_checkpoint(f"{args.logdir}/ckpt", ts, int(ts.env_steps) * cfg.num_envs)
+    from usv_tpu.train.policy import export_policy
+
+    export_policy(learner, ts, f"{args.logdir}/policy")
     logger.close()
 
 
