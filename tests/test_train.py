@@ -160,6 +160,26 @@ def test_policy_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(ppol(obs)), want, atol=1e-6)
 
 
+def test_run_eval_cli(tmp_path):
+    """run_eval over a fresh bundle: writes diagnostics + summary."""
+    import json
+
+    from usv_tpu.train.policy import export_policy
+    from usv_tpu.train.run_eval import main as eval_main
+
+    h = make("usv-simple")
+    sac = SacLearner(h, SMALL_SAC)
+    ts = sac.init(seed=0)
+    export_policy(sac, ts, tmp_path / "pol")
+    eval_main([
+        "--env", "usv-simple", "--policy", str(tmp_path / "pol"),
+        "--steps", "30", "--episodes", "2", "--out", str(tmp_path / "ev"),
+    ])
+    summary = json.loads((tmp_path / "ev" / "summary.json").read_text())
+    assert np.isfinite(summary["reward_per_step"])
+    assert (tmp_path / "ev" / "diagnostics.png").exists()
+
+
 def test_ppo_improves_on_cheap_env():
     # A couple of iterations should not degrade to NaN/-inf and the mean
     # reward signal should be sane on usv-simple.

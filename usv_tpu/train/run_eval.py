@@ -1,0 +1,159 @@
+"""Evaluation CLI: roll out a policy bundle and save diagnostics.
+
+The reference's evaluation workflow lives in notebooks
+(``plot_agent_aitsmc_vec.ipynb``: load model, roll out, plot traces —
+SURVEY.md §4 "evaluation-as-test"). This is that workflow as a CLI over any
+env family and a deployment bundle written by the train CLIs:
+
+    python -m usv_tpu.train.run_eval --env usv-simple \
+        --policy runs/sac/policy --out runs/sac/eval
+
+Writes the 8-panel diagnostics figure, a JSON metrics summary, and
+(optionally) an episode video. With no ``--policy`` it evaluates the
+zero-action baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="usv-simple")
+    p.add_argument("--policy", default=None,
+                   help="policy bundle dir (from the train CLIs); default "
+                        "zero-action baseline")
+    p.add_argument("--out", default="runs/eval")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--episodes", type=int, default=16,
+                   help="batch rollout width for the summary metrics")
+    p.add_argument("--video", action="store_true",
+                   help="also render an episode video (host-side)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from usv_tpu.envs import make
+    from usv_tpu.envs.autoreset import make_autoreset_step
+    from usv_tpu.train.evaluate import plot_diagnostics, rollout_with_info
+
+    handle = make(args.env)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    if args.policy:
+        from usv_tpu.train.policy import load_policy
+
+        policy = load_policy(args.policy)
+        frame_stack = policy.frame_stack
+
+        def policy_fn(obs):                   # (obs_dim*stack,) -> (act,)
+            return policy._act(policy.params, obs[None])[0]
+
+        def batch_policy_fn(obs):             # (B, obs_dim*stack) -> (B, act)
+            return policy._act(policy.params, obs)
+    else:
+        frame_stack = 0
+        act_dim = handle.cfg.action_dim
+
+        def policy_fn(obs):
+            return jnp.zeros((act_dim,))
+
+        def batch_policy_fn(obs):
+            return jnp.zeros((obs.shape[0], act_dim))
+
+    # 1) single-env info-trace rollout -> diagnostics figure
+    trace = rollout_with_info(
+        handle, policy_fn, n_steps=args.steps, seed=args.seed,
+        frame_stack=frame_stack,
+    )
+    fig_path = plot_diagnostics(trace, out_path=str(out / "diagnostics.png"))
+
+    # 2) batched frame-stacked rollout -> summary metrics (one device program)
+    cfg = handle.cfg
+    auto = jax.vmap(
+        make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+    )
+    stack = max(1, frame_stack)
+    num_envs = args.episodes
+
+    @jax.jit
+    def batch_run(key):
+        state = jax.vmap(lambda k: handle.reset(cfg, k))(
+            jax.random.split(key, num_envs)
+        )
+        obs0 = jax.vmap(lambda s: handle.reset_obs(cfg, s))(state)
+        frames = jnp.tile(obs0[:, None, :], (1, stack, 1))
+
+        def body(carry, _):
+            state, frames = carry
+            actions = batch_policy_fn(frames.reshape(num_envs, -1))
+            state, ts = auto(state, actions)
+            new_frames = jnp.concatenate(
+                [frames[:, 1:, :], ts.obs[:, None, :]], axis=1
+            )
+            new_frames = jnp.where(
+                ts.done[:, None, None],
+                jnp.tile(ts.obs[:, None, :], (1, stack, 1)),
+                new_frames,
+            )
+            out = (jnp.sum(ts.reward), jnp.sum(ts.done), jnp.sum(ts.terminated))
+            return (state, new_frames), out
+
+        _, (r, d, t) = jax.lax.scan(
+            body, (state, frames), None, length=args.steps
+        )
+        return jnp.sum(r), jnp.sum(d), jnp.sum(t)
+
+    reward_sum, done_sum, term_sum = batch_run(jax.random.key(args.seed + 1))
+    summary = dict(
+        env=args.env,
+        policy=args.policy or "zero-action baseline",
+        steps=int(args.steps),
+        episodes_batch=int(num_envs),
+        reward_per_step=float(reward_sum) / (args.steps * num_envs),
+        episodes_finished=int(done_sum),
+        terminations=int(term_sum),
+        truncations=int(done_sum) - int(term_sum),
+    )
+    (out / "summary.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary), flush=True)
+
+    if args.video:
+        import gymnasium
+
+        from usv_tpu.compat import register_gymnasium_envs
+        from usv_tpu.utils.video import record_episode
+
+        register_gymnasium_envs()
+        env = gymnasium.make(args.env, render_mode="rgb_array")
+
+        stacked = []
+
+        def video_policy(obs):
+            # host-side frame stack matching the training-time stacking
+            obs = np.asarray(obs, np.float32)
+            if not stacked or len(stacked[-1]) != len(obs):
+                stacked.clear()
+            stacked.append(obs)
+            while len(stacked) < stack:
+                stacked.insert(0, obs)
+            del stacked[:-stack]
+            return np.asarray(policy_fn(jnp.concatenate(stacked)))
+
+        record_episode(
+            env, video_policy, str(out / "episode.mp4"),
+            max_steps=args.steps, seed=args.seed,
+        )
+        env.close()
+    print(f"wrote {fig_path} and {out / 'summary.json'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
