@@ -1,13 +1,15 @@
-"""SAC training-throughput bench: default vs fused-update vs bf16 modes.
+"""Training-throughput bench: SAC (fusion/bf16 modes) and PPO (batch sizes).
 
-Measures env-steps/s *including* gradient updates for the SB3-matching cycle
-({train_freq env steps -> gradient_steps updates}, reference
-train_test/config.py:25-26) across the TPU throughput options
-(SacConfig.fused_updates / compute_dtype — docs/PERFORMANCE.md "Training
-throughput" section).
+Measures env-steps/s *including* gradient updates for the SB3-matching
+cycles (SAC: {train_freq env steps -> gradient_steps updates}, reference
+train_test/config.py:25-26; PPO: {n_steps rollout -> n_epochs x minibatch
+updates}, config.py:7-8) across the TPU throughput options
+(docs/PERFORMANCE.md "Training throughput" section).
 
 Usage: python tools/bench_train.py [--envs 2048] [--rounds 200] \
-           [--modes default fused fused_bf16 bf16]
+           [--modes default fused fused_bf16 bf16 fusion8]
+       python tools/bench_train.py --algo ppo --envs 16 \
+           [--ppo-batch-sizes 64 512 2048]
 Prints one JSON line per mode.
 """
 
@@ -30,8 +32,36 @@ MODES = {
 }
 
 
+def bench_ppo(args):
+    from usv_tpu.envs import make
+    from usv_tpu.train.ppo import PpoConfig, PpoLearner
+
+    handle = make(args.env)
+    for bs in args.ppo_batch_sizes:
+        cfg = PpoConfig(num_envs=args.envs, batch_size=bs)
+        learner = PpoLearner(handle, cfg)
+        ts = learner.init(seed=0)
+        ts, _ = learner.train_iteration(ts)       # compile + warm up
+        float(ts.update_count)
+        steps_per_iter = cfg.n_steps * cfg.num_envs
+        t0 = time.time()
+        ts, _ = learner.train_iteration(ts)
+        float(ts.update_count)
+        dt = time.time() - t0
+        print(json.dumps({
+            "algo": "ppo",
+            "env": args.env,
+            "num_envs": args.envs,
+            "batch_size": bs,
+            "sequential_updates_per_iter":
+                cfg.n_epochs * (steps_per_iter // bs),
+            "steps_per_second": round(steps_per_iter / dt, 1),
+        }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--algo", choices=["sac", "ppo"], default="sac")
     p.add_argument("--envs", type=int, default=2048)
     p.add_argument("--rounds", type=int, default=200)
     p.add_argument("--train-freq", type=int, default=8)
@@ -39,12 +69,18 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--env", default="usv-simple")
     p.add_argument("--modes", nargs="*", default=list(MODES))
+    p.add_argument("--ppo-batch-sizes", type=int, nargs="*",
+                   default=[64, 512, 2048])
     args = p.parse_args()
 
     import jax
 
     from usv_tpu.envs import make
     from usv_tpu.train.sac import SacConfig, SacLearner
+
+    if args.algo == "ppo":
+        bench_ppo(args)
+        return
 
     handle = make(args.env)
     base = SacConfig(
