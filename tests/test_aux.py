@@ -50,6 +50,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(r))
 
 
+def test_light_checkpoint_roundtrip(tmp_path):
+    """include_buffer=False drops the replay buffer; restore with a
+    buffer=None template, then re-attach a fresh buffer and keep training."""
+    learner = SacLearner(make("usv-simple"), SMALL)
+    ts = learner.init(seed=0)
+    ts, _ = learner.train_rounds(ts, 10)
+    save_checkpoint(tmp_path / "ckpt", ts, 100, include_buffer=False)
+
+    fresh = learner.init(seed=1)
+    restored, step = restore_checkpoint(
+        tmp_path / "ckpt", fresh.replace(buffer=None)
+    )
+    assert step == 100 and restored.buffer is None
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.actor_params)[0]),
+        np.asarray(jax.tree.leaves(ts.actor_params)[0]),
+    )
+    restored = restored.replace(buffer=fresh.buffer)
+    restored2, r = learner.train_rounds(restored, 2)
+    assert np.isfinite(float(r))
+
+
 def test_metric_logger(tmp_path):
     logger = MetricLogger(tmp_path / "run", use_tensorboard=False, config={"a": 1})
     logger.log(1, reward=0.5, steps=100)

@@ -16,9 +16,19 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path, train_state, step: int):
-    """Save a train-state pytree under ``path/step``."""
+def save_checkpoint(path, train_state, step: int, include_buffer: bool = True):
+    """Save a train-state pytree under ``path/step``.
+
+    ``include_buffer=False`` drops the replay buffer from the saved state
+    (SAC buffers are by far the largest leaf — e.g. 2+ GB at the reference's
+    400k capacity — and fetching them off-device dominates checkpoint time).
+    Restoring such a "light" checkpoint requires a template with
+    ``buffer=None`` (see :func:`restore_checkpoint`); training then resumes
+    with a fresh, empty buffer.
+    """
     path = Path(path).absolute()
+    if not include_buffer and getattr(train_state, "buffer", None) is not None:
+        train_state = train_state.replace(buffer=None)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / str(step), train_state, force=True)
 

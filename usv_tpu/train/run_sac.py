@@ -46,6 +46,12 @@ def main(argv=None):
     p.add_argument("--update-fusion", type=int, default=1,
                    help="fold k sequential updates into one k*batch update "
                         "(k must divide gradient-steps)")
+    p.add_argument("--light-checkpoints", action="store_true",
+                   help="exclude the replay buffer from checkpoints (much "
+                        "faster saves; resume re-warms an empty buffer)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint from <logdir>/ckpt "
+                        "before training")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -77,6 +83,16 @@ def main(argv=None):
     learner = SacLearner(handle, cfg)
     ts = learner.init(seed=args.seed)
 
+    if args.resume:
+        from usv_tpu.train.checkpoint import restore_checkpoint
+
+        template = ts.replace(buffer=None) if args.light_checkpoints else ts
+        restored, at_step = restore_checkpoint(f"{args.logdir}/ckpt", template)
+        if args.light_checkpoints:
+            restored = restored.replace(buffer=ts.buffer)  # fresh empty buffer
+        ts = restored
+        print(f"resumed from checkpoint at env step {at_step}", flush=True)
+
     if args.shard:
         from usv_tpu.parallel.mesh import make_env_mesh
         from usv_tpu.parallel.sharded import shard_sac_train_state
@@ -103,9 +119,11 @@ def main(argv=None):
         logger.log(env_steps, **metrics)
         print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
         if args.checkpoint_every_blocks and block % args.checkpoint_every_blocks == 0:
-            save_checkpoint(f"{args.logdir}/ckpt", ts, env_steps)
+            save_checkpoint(f"{args.logdir}/ckpt", ts, env_steps,
+                            include_buffer=not args.light_checkpoints)
         t0 = time.time()  # exclude eval/checkpoint from the next block's rate
-    save_checkpoint(f"{args.logdir}/ckpt", ts, int(ts.env_steps) * cfg.num_envs)
+    save_checkpoint(f"{args.logdir}/ckpt", ts, int(ts.env_steps) * cfg.num_envs,
+                    include_buffer=not args.light_checkpoints)
     from usv_tpu.train.policy import export_policy
 
     export_policy(learner, ts, f"{args.logdir}/policy")
