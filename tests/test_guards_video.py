@@ -58,3 +58,21 @@ def test_video_recording(tmp_path):
     assert video_trigger(0)
     assert video_trigger(200)  # step 1 cubic
     assert not video_trigger(500 * 200 + 200)
+
+
+def test_record_rollout_video(tmp_path):
+    """Device-side trace rollout -> host rendering (the TPU-friendly path)."""
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    from usv_tpu.utils.video import record_rollout_video
+
+    handle = make("usv-simple")
+
+    def policy(obs):
+        return jnp.asarray([0.5, 0.0])
+
+    path, reward = record_rollout_video(
+        handle, policy, tmp_path / "roll", n_steps=15, seed=0, frame_stack=2,
+    )
+    assert path is not None and os.path.exists(path)
+    assert os.path.getsize(path) > 5_000
+    assert np.isfinite(reward)

@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--ignore-obstacles", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MLP compute on the MXU (params stay f32)")
+    p.add_argument("--video-every-iters", type=int, default=0,
+                   help="record a policy episode video every N iterations")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -59,6 +61,26 @@ def main(argv=None):
             mean_reward=float(mean_reward),
             steps_per_second=sps,
         )
+        if args.video_every_iters and it % args.video_every_iters == 0:
+            from usv_tpu.utils.video import record_rollout_video
+
+            params = ts.params
+
+            def vid_policy(obs):
+                import jax.numpy as jnp
+
+                mean, _, _, _ = learner.model.apply(params, obs[None])
+                return jnp.clip(
+                    mean[0],
+                    jnp.asarray(handle.cfg.action_low),
+                    jnp.asarray(handle.cfg.action_high),
+                )
+
+            _, vid_reward = record_rollout_video(
+                handle, vid_policy, f"{args.logdir}/videos/step_{it * steps_per_iter}",
+                n_steps=500, seed=it, frame_stack=cfg.frame_stack,
+            )
+            metrics["video_episode_reward"] = vid_reward
         logger.log(it * steps_per_iter, **metrics)
         print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
         if args.checkpoint_every_iters and it % args.checkpoint_every_iters == 0:

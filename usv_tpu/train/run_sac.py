@@ -52,6 +52,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint from <logdir>/ckpt "
                         "before training")
+    p.add_argument("--video-every-blocks", type=int, default=0,
+                   help="record a policy episode video every N blocks "
+                        "(device-side rollout, host-side rendering; each "
+                        "recording re-traces a small rollout program)")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -116,6 +120,21 @@ def main(argv=None):
         )
         if args.eval_every_blocks and block % args.eval_every_blocks == 0:
             metrics["eval_reward_per_step"] = learner.eval_policy(ts)
+        if args.video_every_blocks and block % args.video_every_blocks == 0:
+            from usv_tpu.utils.video import record_rollout_video
+
+            actor_params = ts.actor_params
+
+            def vid_policy(obs):
+                return learner.actor.deterministic(
+                    actor_params, obs[None]
+                )[0]
+
+            vid, vid_reward = record_rollout_video(
+                handle, vid_policy, f"{args.logdir}/videos/step_{env_steps}",
+                n_steps=500, seed=block, frame_stack=cfg.frame_stack,
+            )
+            metrics["video_episode_reward"] = vid_reward
         logger.log(env_steps, **metrics)
         print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
         if args.checkpoint_every_blocks and block % args.checkpoint_every_blocks == 0:

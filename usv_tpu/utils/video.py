@@ -58,6 +58,79 @@ class VideoRecorder:
             self.frames = []
 
 
+def record_rollout_video(
+    handle,                    # EnvHandle
+    policy_fn: Callable,       # (stacked_obs,) -> action (jax-traceable)
+    path,
+    n_steps: int = 500,
+    seed: int = 0,
+    frame_stack: int = 0,
+    fps: int = 30,
+    renderer=None,
+    stop_at_done: bool = True,
+):
+    """Record a policy episode: device-side rollout, host-side rendering.
+
+    Unlike :func:`record_episode` (which steps a gym-adapter env from the
+    host, one device dispatch per frame — fine on CPU, seconds-per-step over
+    a remote TPU link), this runs the whole rollout as ONE jitted scan that
+    collects the state trace, then renders frames from the fetched trace.
+    Returns (video_path, episode_reward).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from usv_tpu.envs.autoreset import make_autoreset_step
+
+    cfg = handle.cfg
+    auto = make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+    stack = max(1, frame_stack)
+
+    @jax.jit
+    def run(key):
+        state = handle.reset(cfg, key)
+        obs0 = handle.reset_obs(cfg, state)
+        frames0 = jnp.tile(obs0[None, :], (stack, 1))
+
+        def body(carry, _):
+            state, frames = carry
+            action = policy_fn(frames.reshape(-1))
+            state, ts = auto(state, action)
+            new_frames = jnp.concatenate([frames[1:], ts.obs[None, :]], axis=0)
+            new_frames = jnp.where(
+                ts.done, jnp.tile(ts.obs[None, :], (stack, 1)), new_frames
+            )
+            return (state, new_frames), (state, ts.done, ts.reward)
+
+        _, (states, done, reward) = jax.lax.scan(
+            body, (state, frames0), None, length=n_steps
+        )
+        return states, done, reward
+
+    states, done, reward = jax.device_get(run(jax.random.key(seed)))
+
+    done = np.asarray(done, bool)
+    # the state at the done index is already auto-reset (next episode's
+    # start), so the episode's own frames end just before it
+    end = max(1, int(np.argmax(done))) if (stop_at_done and done.any()) else n_steps
+
+    if renderer is None:
+        from usv_tpu.utils.viz import CaEnvRenderer, SimpleEnvRenderer
+
+        renderer = (
+            CaEnvRenderer() if handle.env_id == "usv-asmc-ca-v0"
+            else SimpleEnvRenderer()
+        )
+    rec = VideoRecorder(path, fps=fps)
+    for t in range(end):
+        state_t = jax.tree.map(lambda x: x[t], states)
+        frame = renderer.render_state(handle.cfg, state_t)
+        if frame is not None:
+            rec.capture(frame)
+    renderer.close()
+    return rec.close(), float(np.asarray(reward)[:end].sum())
+
+
 def record_episode(
     env,                      # a usv_tpu.compat gym adapter env
     policy_fn: Callable,      # obs -> action
