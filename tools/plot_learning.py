@@ -45,6 +45,8 @@ def main():
     import matplotlib.pyplot as plt
 
     labels = args.labels or [Path(r).name for r in args.runs]
+    if len(labels) != len(args.runs):
+        p.error(f"--labels got {len(labels)} labels for {len(args.runs)} runs")
     fig, ax = plt.subplots(figsize=(8, 5))
     for run, label in zip(args.runs, labels):
         xs, ys = load_metric(Path(run), args.metric)

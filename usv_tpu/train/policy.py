@@ -17,7 +17,6 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
-import orbax.checkpoint as ocp
 
 
 def export_policy(learner, train_state, path) -> str:
@@ -25,6 +24,8 @@ def export_policy(learner, train_state, path) -> str:
 
     Stores actor params + everything needed to rebuild the network.
     """
+    import orbax.checkpoint as ocp
+
     from usv_tpu.train.ppo import PpoLearner
     from usv_tpu.train.sac import SacLearner
 
@@ -125,6 +126,8 @@ class Policy:
 
 def load_policy(path) -> Policy:
     """Load a bundle written by :func:`export_policy`."""
+    import orbax.checkpoint as ocp
+
     path = Path(path).absolute()
     meta = json.loads((path / "policy.json").read_text())
 

@@ -37,7 +37,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from usv_tpu.envs import make
     from usv_tpu.envs.autoreset import make_autoreset_step
@@ -52,12 +51,8 @@ def main(argv=None):
 
         policy = load_policy(args.policy)
         frame_stack = policy.frame_stack
-
-        def policy_fn(obs):                   # (obs_dim*stack,) -> (act,)
-            return policy._act(policy.params, obs[None])[0]
-
-        def batch_policy_fn(obs):             # (B, obs_dim*stack) -> (B, act)
-            return policy._act(policy.params, obs)
+        # Policy handles both (obs_dim,) and (B, obs_dim) inputs
+        policy_fn = batch_policy_fn = policy
     else:
         frame_stack = 0
         act_dim = handle.cfg.action_dim
@@ -126,32 +121,14 @@ def main(argv=None):
     print(json.dumps(summary), flush=True)
 
     if args.video:
-        import gymnasium
+        # one jitted device rollout, host-side rendering (a host-stepped
+        # gym loop would pay one device dispatch per frame)
+        from usv_tpu.utils.video import record_rollout_video
 
-        from usv_tpu.compat import register_gymnasium_envs
-        from usv_tpu.utils.video import record_episode
-
-        register_gymnasium_envs()
-        env = gymnasium.make(args.env, render_mode="rgb_array")
-
-        stacked = []
-
-        def video_policy(obs):
-            # host-side frame stack matching the training-time stacking
-            obs = np.asarray(obs, np.float32)
-            if not stacked or len(stacked[-1]) != len(obs):
-                stacked.clear()
-            stacked.append(obs)
-            while len(stacked) < stack:
-                stacked.insert(0, obs)
-            del stacked[:-stack]
-            return np.asarray(policy_fn(jnp.concatenate(stacked)))
-
-        record_episode(
-            env, video_policy, str(out / "episode.mp4"),
-            max_steps=args.steps, seed=args.seed,
+        record_rollout_video(
+            handle, policy_fn, str(out / "episode"),
+            n_steps=args.steps, seed=args.seed, frame_stack=frame_stack,
         )
-        env.close()
     print(f"wrote {fig_path} and {out / 'summary.json'}", flush=True)
 
 

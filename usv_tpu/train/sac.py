@@ -360,7 +360,13 @@ class SacLearner:
             ts = ts.replace(key=key)
             ts, reward_sum = self._env_cycle(ts, k_collect)
 
-            past_warmup = ts.env_steps * cfg.num_envs >= cfg.learning_starts
+            # Warmup gate on BUFFER FILL, not the env-step counter: for a
+            # fresh run they are identical (train_freq*num_envs inserts per
+            # round), but after a light-checkpoint resume (empty re-attached
+            # buffer, restored counter) only the fill gate re-warms properly.
+            past_warmup = ts.buffer.size >= min(
+                cfg.learning_starts, cfg.buffer_size
+            )
 
             fusion = (
                 cfg.gradient_steps if cfg.fused_updates

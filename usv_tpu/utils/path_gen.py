@@ -175,17 +175,13 @@ def plot_path(path: PchipPath, waypoints, obstacles, show: bool = True):
 
     Returns the matplotlib axes (and shows the figure when ``show``).
     """
-    import matplotlib
-
-    if show is False:
-        matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
 
     waypoints = np.asarray(waypoints)
     obstacles = np.asarray(obstacles)
     xs = np.linspace(waypoints[0, 0], waypoints[-1, 0])
     ys = np.asarray(pchip_eval(path, jnp.asarray(xs, jnp.float32)))
-    ax = plt.gca()
+    _, ax = plt.subplots()
     ax.plot(xs, ys)
     ax.scatter(waypoints[:, 0], waypoints[:, 1])
     if len(obstacles):

@@ -111,8 +111,14 @@ def record_rollout_video(
 
     done = np.asarray(done, bool)
     # the state at the done index is already auto-reset (next episode's
-    # start), so the episode's own frames end just before it
-    end = max(1, int(np.argmax(done))) if (stop_at_done and done.any()) else n_steps
+    # start), so the episode's own frames end just before it — but its
+    # reward (terminal penalty/bonus included) belongs to the episode
+    if stop_at_done and done.any():
+        done_idx = int(np.argmax(done))
+        frame_end, reward_end = done_idx, done_idx + 1
+    else:
+        frame_end = reward_end = n_steps
+    episode_reward = float(np.asarray(reward)[:reward_end].sum())
 
     if renderer is None:
         from usv_tpu.utils.viz import CaEnvRenderer, SimpleEnvRenderer
@@ -122,13 +128,25 @@ def record_rollout_video(
             else SimpleEnvRenderer()
         )
     rec = VideoRecorder(path, fps=fps)
-    for t in range(end):
-        state_t = jax.tree.map(lambda x: x[t], states)
-        frame = renderer.render_state(handle.cfg, state_t)
-        if frame is not None:
-            rec.capture(frame)
-    renderer.close()
-    return rec.close(), float(np.asarray(reward)[:end].sum())
+    try:
+        for t in range(frame_end):
+            state_t = jax.tree.map(lambda x: x[t], states)
+            frame = renderer.render_state(handle.cfg, state_t)
+            if frame is not None:
+                rec.capture(frame)
+    except AttributeError as e:
+        # env families without a compatible renderer (curved/legacy states
+        # lack the simple-family fields) — skip the video, keep training
+        import warnings
+
+        warnings.warn(
+            f"no renderer supports {handle.env_id!r} states ({e}); "
+            "skipping video"
+        )
+        rec.frames = []
+    finally:
+        renderer.close()
+    return rec.close(), episode_reward
 
 
 def record_episode(
