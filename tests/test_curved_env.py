@@ -89,6 +89,26 @@ def test_on_path_obstacle_collides_blind_pilot():
     assert collided
 
 
+def test_curved_gym_adapter_and_render():
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    import gymnasium
+
+    from usv_tpu.compat import register_gymnasium_envs
+
+    register_gymnasium_envs()
+    env = gymnasium.make("usv-curved-aitsmc", render_mode="rgb_array")
+    obs, info = env.reset(seed=3)
+    assert obs.shape == env.observation_space.shape
+    obs, r, term, trunc, info = env.step(np.asarray([0.5, 0.0], np.float32))
+    frame = env.render()
+    assert frame.shape == (512, 512, 3) and frame.dtype == np.uint8
+    # path polyline / obstacles / boat were actually drawn
+    assert (frame < 250).any()
+    env.close()
+
+
 def test_arrival_terminates():
     state = reset(CFG, jax.random.key(5))
     pose = state.dyn.pose.at[0].set(state.waypoints[-1, 0] + 1.0)

@@ -7,6 +7,7 @@ from usv_tpu.compat.gym_adapter import (
     UsvAsmcEnv,
     UsvPidEnv,
     UsvAsmcYeIntEnv,
+    UsvCurvedAitsmcEnv,
     register_gymnasium_envs,
 )
 from usv_tpu.compat.vector_env import UsvVectorEnv

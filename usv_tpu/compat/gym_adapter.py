@@ -264,6 +264,24 @@ class UsvAsmcCaEnv(GymUsvEnv):
         return self._renderer.render_state(self.handle.cfg, self._state)
 
 
+class UsvCurvedAitsmcEnv(GymUsvEnv):
+    """Adapter for ``usv-curved-aitsmc`` (beyond-reference: curved/waypoint
+    PCHIP paths + AITSMC inner loop, BASELINE config 2)."""
+
+    env_id = "usv-curved-aitsmc"
+
+    def _make_observation_space(self, obs_dim):
+        # velocities/ye/sensor distances are not normalized to [-1, 1]
+        return spaces.Box(-np.inf, np.inf, shape=(obs_dim,), dtype=np.float32)
+
+    def _render_frame(self):
+        from usv_tpu.utils.viz import CurvedEnvRenderer
+
+        if self._renderer is None:
+            self._renderer = CurvedEnvRenderer(render_mode=self.render_mode)
+        return self._renderer.render_state(self.handle.cfg, self._state)
+
+
 class UsvAsmcEnv(GymUsvEnv):
     """Adapter for legacy ``UsvAsmcEnv`` (old-gym API)."""
 
@@ -303,6 +321,8 @@ def register_gymnasium_envs(prefix: str = ""):
         ("usv-simple", UsvSimpleEnv, 500),
         ("usv-asmc-simple", UsvSimpleASMCEnv, 1000),
         ("usv-aitsmc-simple", UsvSimpleAITSMCEnv, 150),
+        # beyond-reference curved/waypoint-path env (BASELINE config 2)
+        ("usv-curved-aitsmc", UsvCurvedAitsmcEnv, 1000),
     ]
     for env_id, cls, max_steps in specs:
         full_id = prefix + env_id

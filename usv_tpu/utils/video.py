@@ -121,12 +121,18 @@ def record_rollout_video(
     episode_reward = float(np.asarray(reward)[:reward_end].sum())
 
     if renderer is None:
-        from usv_tpu.utils.viz import CaEnvRenderer, SimpleEnvRenderer
-
-        renderer = (
-            CaEnvRenderer() if handle.env_id == "usv-asmc-ca-v0"
-            else SimpleEnvRenderer()
+        from usv_tpu.utils.viz import (
+            CaEnvRenderer,
+            CurvedEnvRenderer,
+            SimpleEnvRenderer,
         )
+
+        if handle.env_id == "usv-asmc-ca-v0":
+            renderer = CaEnvRenderer()
+        elif handle.env_id == "usv-curved-aitsmc":
+            renderer = CurvedEnvRenderer()
+        else:
+            renderer = SimpleEnvRenderer()
     rec = VideoRecorder(path, fps=fps)
     try:
         for t in range(frame_end):

@@ -210,6 +210,75 @@ class CaEnvRenderer:
         self._win.close()
 
 
+class CurvedEnvRenderer:
+    """Renderer for the curved/waypoint-path env (``usv-curved-aitsmc``).
+
+    No reference counterpart exists (the reference never wired path_gen
+    into an env); follows the style of its visualizers: PCHIP path
+    polyline + waypoints, obstacles, sensor rays, boat polygon. World
+    bounds are computed per frame from the episode's waypoints/obstacles.
+    """
+
+    def __init__(self, render_mode: Optional[str] = "rgb_array", window_size: int = 512):
+        self._win = _PygameWindow(render_mode, window_size, fps=30)
+
+    def render_state(self, cfg, state):
+        from usv_tpu.utils.path_gen import pchip_eval
+
+        window = self._win.window_size
+        wps = np.asarray(state.waypoints)
+        obs_xy = np.asarray(state.obs_xy)
+        obs_r = np.asarray(state.obs_r)
+        mask = np.asarray(state.obs_mask).astype(bool)
+        pose = np.asarray(state.dyn.pose)
+        sensor = np.asarray(state.sensor_dist)
+        x, y, psi = pose
+
+        pts = np.concatenate([wps, obs_xy[mask], pose[None, :2]], axis=0)
+        lo = pts.min(axis=0) - 2.0
+        hi = pts.max(axis=0) + 2.0
+        scale = window / float(max(hi[0] - lo[0], hi[1] - lo[1]))
+
+        def to_screen(p):
+            return (float((p[0] - lo[0]) * scale), float((p[1] - lo[1]) * scale))
+
+        path_x = np.linspace(wps[0, 0], wps[-1, 0], 120)
+        path_y = np.asarray(pchip_eval(state.path, path_x))
+
+        res = cfg.sensor_span / cfg.sensor_count
+        angles = psi - 2 * np.pi / 3 + np.arange(cfg.sensor_count) * res
+
+        def draw(pygame, canvas):
+            pygame.draw.lines(
+                canvas, (120, 120, 120), False,
+                [to_screen(p) for p in zip(path_x, path_y)], 2,
+            )
+            for wp in wps:
+                pygame.draw.circle(canvas, (0, 0, 255), to_screen(wp), 4)
+            for ang, dist in zip(angles, sensor):
+                d = min(float(dist), 20.0)
+                end = (x + d * np.cos(ang), y + d * np.sin(ang))
+                pygame.draw.line(canvas, (0, 220, 0), to_screen((x, y)), to_screen(end))
+            for i in range(len(obs_r)):
+                if mask[i]:
+                    pygame.draw.circle(
+                        canvas, (200, 0, 0), to_screen(obs_xy[i]),
+                        float(max(1.0, obs_r[i] * scale)),
+                    )
+            L, W = 0.6, 0.35
+            tri = []
+            for dx, dy in ((L, 0), (-L / 2, W), (-L / 2, -W)):
+                px = x + dx * np.cos(psi) - dy * np.sin(psi)
+                py = y + dx * np.sin(psi) + dy * np.cos(psi)
+                tri.append(to_screen((px, py)))
+            pygame.draw.polygon(canvas, (0, 0, 0), tri)
+
+        return self._win.frame(draw)
+
+    def close(self):
+        self._win.close()
+
+
 def render_plot(surface, data: deque, pos, size, color=(0, 0, 0), line_width=2):
     """Oscilloscope-style deque plot (reference pygame_plotter.py:9-33)."""
     pygame = _require_pygame()
