@@ -137,6 +137,24 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_sac_seed_parallel_population():
+    """init_many/train_rounds_many: S independent learners in one program."""
+    cfg = dataclasses.replace(SMALL_SAC, learning_starts=64)
+    h = make("usv-simple")
+    learner = SacLearner(h, cfg)
+    ts = learner.init_many([0, 1, 2])
+    assert jax.tree.leaves(ts.actor_params)[0].shape[0] == 3
+    ts, rewards = learner.train_rounds_many(ts, 6)
+    assert rewards.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(rewards)))
+    # seeds evolved independently: params differ pairwise
+    leaf = np.asarray(jax.tree.leaves(ts.actor_params)[0])
+    assert not np.allclose(leaf[0], leaf[1])
+    assert not np.allclose(leaf[1], leaf[2])
+    evals = learner.eval_policy_many(ts, n_steps=10, num_envs=2)
+    assert evals.shape == (3,) and np.all(np.isfinite(evals))
+
+
 def test_policy_export_roundtrip(tmp_path):
     from usv_tpu.train.policy import export_policy, load_policy
 

@@ -412,6 +412,50 @@ class SacLearner:
             )
         return self._jit_rounds[n_rounds](ts)
 
+    # ------------------------------------------------- seed-parallel (vmap)
+
+    def init_many(self, seeds) -> SacTrainState:
+        """Initialize a POPULATION of independent learners (one per seed),
+        stacked on a leading axis — envs, replay buffers, params, optimizer
+        states all become (S, ...) leaves of one pytree.
+
+        TPU-native population training: the whole {collect -> update} cycle
+        then runs for every seed in ONE device program via
+        :meth:`train_rounds_many` — hyperparameter-free seed sweeps and
+        variance estimates at the cost of one jit. No reference counterpart
+        (SB3 trains one model per process).
+        """
+        keys = jax.vmap(jax.random.key)(jnp.asarray(list(seeds), jnp.uint32))
+        return jax.jit(jax.vmap(self._init_impl))(keys)
+
+    def train_rounds_many(self, ts: SacTrainState, n_rounds: int):
+        """Population version of :meth:`train_rounds`: (S, ...) state in,
+        (S, ...) state + per-seed summed reward out.
+
+        Note: under vmap, the warmup ``lax.cond`` becomes a select (both
+        branches execute every round, results discarded during warmup), so
+        prefer small ``learning_starts`` for population runs.
+        """
+        key = ("many", n_rounds)
+        if key not in self._jit_rounds:
+            self._jit_rounds[key] = jax.jit(
+                jax.vmap(partial(self._rounds_impl, n_rounds=n_rounds)),
+                donate_argnums=(0,),
+            )
+        return self._jit_rounds[key](ts)
+
+    def eval_policy_many(self, ts: SacTrainState, n_steps: int = 500,
+                         num_envs: int = 16):
+        """Per-seed deterministic eval -> (S,) mean reward/step array."""
+        key = ("many", n_steps, num_envs)
+        if key not in self._jit_eval:
+            run = self._build_eval(n_steps, num_envs)
+            self._jit_eval[key] = jax.jit(jax.vmap(run))
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(ts.key)
+        import numpy as np
+
+        return np.asarray(self._jit_eval[key](ts.actor_params, keys))
+
     # ----------------------------------------------------------- evaluation
 
     def eval_policy(self, ts: SacTrainState, n_steps: int = 500, num_envs: int = 16):
