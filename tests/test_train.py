@@ -198,6 +198,17 @@ def test_run_eval_cli(tmp_path):
     assert (tmp_path / "ev" / "diagnostics.png").exists()
 
 
+def test_ppo_seed_parallel_population():
+    h = make("usv-simple")
+    learner = PpoLearner(h, SMALL_PPO)
+    ts = learner.init_many([0, 1])
+    ts, rewards = learner.train_iteration_many(ts)
+    assert rewards.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(rewards)))
+    leaf = np.asarray(jax.tree.leaves(ts.params)[0])
+    assert leaf.shape[0] == 2 and not np.allclose(leaf[0], leaf[1])
+
+
 def test_ppo_improves_on_cheap_env():
     # A couple of iterations should not degrade to NaN/-inf and the mean
     # reward signal should be sane on usv-simple.

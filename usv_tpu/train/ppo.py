@@ -272,3 +272,21 @@ class PpoLearner:
     def train_iteration(self, ts: PpoTrainState):
         """One {rollout, GAE, epochs x minibatches} cycle as one device call."""
         return self._jit_iter(ts)
+
+    # ------------------------------------------------- seed-parallel (vmap)
+
+    def init_many(self, seeds) -> PpoTrainState:
+        """Population init: S independent learners stacked on a leading axis
+        (see SacLearner.init_many)."""
+        keys = jax.vmap(jax.random.key)(jnp.asarray(list(seeds), jnp.uint32))
+        return jax.jit(jax.vmap(self._init_impl))(keys)
+
+    def train_iteration_many(self, ts: PpoTrainState):
+        """Population version of :meth:`train_iteration`: every seed's
+        {rollout, GAE, update epochs} in one device program; returns
+        (state, (S,) mean rewards)."""
+        if not hasattr(self, "_jit_iter_many"):
+            self._jit_iter_many = jax.jit(
+                jax.vmap(self._iteration_impl), donate_argnums=(0,)
+            )
+        return self._jit_iter_many(ts)
