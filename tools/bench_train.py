@@ -67,6 +67,7 @@ def main():
     p.add_argument("--train-freq", type=int, default=8)
     p.add_argument("--gradient-steps", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--buffer-size", type=int, default=400_000)
     p.add_argument("--env", default="usv-simple")
     p.add_argument("--modes", nargs="*", default=list(MODES))
     p.add_argument("--ppo-batch-sizes", type=int, nargs="*",
@@ -88,6 +89,7 @@ def main():
         train_freq=args.train_freq,
         gradient_steps=args.gradient_steps,
         batch_size=args.batch_size,
+        buffer_size=args.buffer_size,
         learning_starts=0,  # measure the steady state (updates every round)
     )
     steps_per_block = args.rounds * base.train_freq * args.envs

@@ -38,7 +38,15 @@ def buffer_init(capacity: int, obs_dim: int, act_dim: int, dtype=jnp.float32):
 
 
 def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done):
-    """Insert B transitions at the write head (wrap-around)."""
+    """Insert B transitions at the write head (wrap-around).
+
+    When ``capacity % B == 0`` (and the buffer only ever sees B-row writes,
+    as in the learners — ``SacLearner`` rounds the capacity up to guarantee
+    it), the write head stays B-aligned and a write never wraps mid-batch,
+    so the insert lowers to ``dynamic_update_slice`` instead of a scatter.
+    This matters under ``vmap`` (population training): a batched scatter
+    serializes on TPU (~40x slower collect), a batched DUS does not.
+    """
     cap = buf.obs.shape[0]
     b = obs.shape[0]
     if b > cap:
@@ -46,13 +54,24 @@ def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done):
             f"batch of {b} transitions exceeds buffer capacity {cap}; "
             "modulo indices would silently collide"
         )
-    idx = (buf.ptr + jnp.arange(b)) % cap
+    done = done.astype(buf.done.dtype)
+    if cap % b == 0:
+        def put(dst, rows):
+            return jax.lax.dynamic_update_slice(
+                dst, rows.astype(dst.dtype),
+                (buf.ptr,) + (0,) * (dst.ndim - 1),
+            )
+    else:
+        idx = (buf.ptr + jnp.arange(b)) % cap
+
+        def put(dst, rows):
+            return dst.at[idx].set(rows.astype(dst.dtype))
     return buf.replace(
-        obs=buf.obs.at[idx].set(obs),
-        action=buf.action.at[idx].set(action),
-        reward=buf.reward.at[idx].set(reward),
-        next_obs=buf.next_obs.at[idx].set(next_obs),
-        done=buf.done.at[idx].set(done.astype(buf.done.dtype)),
+        obs=put(buf.obs, obs),
+        action=put(buf.action, action),
+        reward=put(buf.reward, reward),
+        next_obs=put(buf.next_obs, next_obs),
+        done=put(buf.done, done),
         ptr=(buf.ptr + b) % cap,
         size=jnp.minimum(buf.size + b, cap),
     )
