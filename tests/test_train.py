@@ -30,22 +30,28 @@ def test_buffer_wraparound_and_sample():
 
 
 def test_buffer_aligned_fast_path_matches_scatter():
-    """cap % b == 0 takes the dynamic_update_slice path; semantics must
+    """aligned=True takes the dynamic_update_slice path; semantics must
     match the scatter path, including wrap to the start on later writes."""
     buf = buffer_init(12, 3, 2)
     for i in range(3):  # writes at rows 0-5, 6-11, then wrap to 0-5
         rows = jnp.full((6, 3), float(i))
         buf = buffer_add_batch(
             buf, rows, jnp.zeros((6, 2)), jnp.full((6,), float(i)),
-            rows, jnp.zeros(6),
+            rows, jnp.zeros(6), aligned=True,
         )
     assert int(buf.size) == 12 and int(buf.ptr) == 6
     np.testing.assert_allclose(np.asarray(buf.reward[:6]), 2.0)   # overwritten
     np.testing.assert_allclose(np.asarray(buf.reward[6:]), 1.0)
+    # misaligned opt-in is rejected, not silently corrupted
+    with pytest.raises(ValueError):
+        buffer_add_batch(
+            buf, jnp.zeros((5, 3)), jnp.zeros((5, 2)), jnp.zeros(5),
+            jnp.zeros((5, 3)), jnp.zeros(5), aligned=True,
+        )
     # vmapped (population) insertion works and stays per-lane
     bufs = jax.vmap(lambda k: buffer_init(12, 3, 2))(jnp.arange(2))
     rows = jnp.stack([jnp.zeros((6, 3)), jnp.ones((6, 3))])
-    bufs = jax.vmap(buffer_add_batch)(
+    bufs = jax.vmap(lambda *a: buffer_add_batch(*a, aligned=True))(
         bufs, rows, jnp.zeros((2, 6, 2)), rows[..., 0], rows, jnp.zeros((2, 6))
     )
     np.testing.assert_allclose(np.asarray(bufs.obs[1, :6]), 1.0)

@@ -2,8 +2,9 @@
 
 The SB3 SAC buffer the reference relies on (400k transitions,
 ``config.py:21``) lives in host RAM with NumPy copies per sample; here the
-buffer is a pytree of preallocated device arrays — insertion is a wrap-around
-scatter and sampling an indexed gather inside the same jit as the learner
+buffer is a pytree of preallocated device arrays — insertion is an aligned
+``dynamic_update_slice`` (learner path) or wrap-around scatter (general
+path) and sampling an indexed gather inside the same jit as the learner
 update, so no transition ever crosses the host boundary.
 """
 
@@ -37,15 +38,20 @@ def buffer_init(capacity: int, obs_dim: int, act_dim: int, dtype=jnp.float32):
     )
 
 
-def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done):
+def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done,
+                     aligned: bool = False):
     """Insert B transitions at the write head (wrap-around).
 
-    When ``capacity % B == 0`` (and the buffer only ever sees B-row writes,
-    as in the learners — ``SacLearner`` rounds the capacity up to guarantee
-    it), the write head stays B-aligned and a write never wraps mid-batch,
-    so the insert lowers to ``dynamic_update_slice`` instead of a scatter.
-    This matters under ``vmap`` (population training): a batched scatter
-    serializes on TPU (~40x slower collect), a batched DUS does not.
+    ``aligned=True`` is an OPT-IN fast path for callers that guarantee
+    EVERY write to this buffer has the same row count B with
+    ``capacity % B == 0`` (then the write head stays B-aligned and never
+    wraps mid-batch): the insert lowers to ``dynamic_update_slice`` instead
+    of a scatter, which matters under ``vmap`` (population training: a
+    batched scatter serializes on TPU, ~40x slower collect). The learners
+    round their capacity up to guarantee the invariant. With mixed write
+    sizes ``aligned=True`` silently corrupts rows (DUS clamps the start
+    index instead of wrapping) — the default scatter path is correct for
+    any write sequence.
     """
     cap = buf.obs.shape[0]
     b = obs.shape[0]
@@ -54,8 +60,11 @@ def buffer_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs, done):
             f"batch of {b} transitions exceeds buffer capacity {cap}; "
             "modulo indices would silently collide"
         )
-    done = done.astype(buf.done.dtype)
-    if cap % b == 0:
+    if aligned and cap % b:
+        raise ValueError(
+            f"aligned insert needs capacity ({cap}) % rows ({b}) == 0"
+        )
+    if aligned:
         def put(dst, rows):
             return jax.lax.dynamic_update_slice(
                 dst, rows.astype(dst.dtype),

@@ -143,6 +143,16 @@ class SacLearner:
         # the population vmap).
         block = config.train_freq * config.num_envs
         self.buffer_capacity = -(-config.buffer_size // block) * block
+        if self.buffer_capacity != config.buffer_size:
+            import warnings
+
+            warnings.warn(
+                f"replay capacity rounded {config.buffer_size} -> "
+                f"{self.buffer_capacity} (multiple of train_freq*num_envs="
+                f"{block} for aligned writes). Checkpoints depend on the "
+                "exact capacity — keep train_freq/num_envs fixed across "
+                "save/resume, or set buffer_size to a multiple yourself."
+            )
 
         self._auto_step = jax.vmap(
             make_autoreset_step(
@@ -280,7 +290,7 @@ class SacLearner:
         )
         buffer = buffer_add_batch(
             ts.buffer, flat["obs"], flat["action"], flat["reward"],
-            flat["next_obs"], flat["done"],
+            flat["next_obs"], flat["done"], aligned=True,
         )
         ts = ts.replace(
             env_state=env_state, frames=frames,
