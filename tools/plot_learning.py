@@ -18,13 +18,13 @@ import argparse
 import json
 
 
-def load_metric(run_dir: Path, metric: str):
+def load_metric(run_dir: Path, metric: str, x_key: str = "env_steps"):
     xs, ys = [], []
     with open(run_dir / "metrics.jsonl") as f:
         for line in f:
             row = json.loads(line)
             if metric in row:
-                xs.append(row.get("env_steps", row.get("step", 0)))
+                xs.append(row.get(x_key, row.get("step", 0)))
                 ys.append(row[metric])
     return xs, ys
 
@@ -33,6 +33,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("runs", nargs="+", help="run directories with metrics.jsonl")
     p.add_argument("--metric", default="eval_reward_per_step")
+    p.add_argument("--x", default="env_steps", choices=["env_steps", "wall_s"],
+                   help="x axis: env steps or wall-clock seconds since start")
     p.add_argument("--labels", nargs="*", default=None)
     p.add_argument("--out", default=None, help="output png (default: show)")
     p.add_argument("--title", default=None)
@@ -49,12 +51,12 @@ def main():
         p.error(f"--labels got {len(labels)} labels for {len(args.runs)} runs")
     fig, ax = plt.subplots(figsize=(8, 5))
     for run, label in zip(args.runs, labels):
-        xs, ys = load_metric(Path(run), args.metric)
+        xs, ys = load_metric(Path(run), args.metric, args.x)
         if not xs:
             print(f"warning: no '{args.metric}' rows in {run}", flush=True)
             continue
         ax.plot(xs, ys, marker="o", markersize=3, label=label)
-    ax.set_xlabel("env steps")
+    ax.set_xlabel("wall-clock seconds" if args.x == "wall_s" else "env steps")
     ax.set_ylabel(args.metric)
     ax.set_title(args.title or args.metric)
     ax.grid(alpha=0.3)
