@@ -98,15 +98,27 @@ def main(argv=None):
                 jnp.tile(ts.obs[:, None, :], (1, stack, 1)),
                 new_frames,
             )
-            out = (jnp.sum(ts.reward), jnp.sum(ts.done), jnp.sum(ts.terminated))
+            flags = {
+                k: jnp.sum(v) for k, v in ts.info.items()
+                if hasattr(v, "dtype") and v.dtype == jnp.bool_ and v.ndim == 1
+            }
+            out = (
+                jnp.sum(ts.reward), jnp.sum(ts.done), jnp.sum(ts.terminated),
+                flags,
+            )
             return (state, new_frames), out
 
-        _, (r, d, t) = jax.lax.scan(
+        _, (r, d, t, flags) = jax.lax.scan(
             body, (state, frames), None, length=args.steps
         )
-        return jnp.sum(r), jnp.sum(d), jnp.sum(t)
+        return (
+            jnp.sum(r), jnp.sum(d), jnp.sum(t),
+            {k: jnp.sum(v) for k, v in flags.items()},
+        )
 
-    reward_sum, done_sum, term_sum = batch_run(jax.random.key(args.seed + 1))
+    reward_sum, done_sum, term_sum, flag_sums = batch_run(
+        jax.random.key(args.seed + 1)
+    )
     summary = dict(
         env=args.env,
         policy=args.policy or "zero-action baseline",
@@ -116,6 +128,9 @@ def main(argv=None):
         episodes_finished=int(done_sum),
         terminations=int(term_sum),
         truncations=int(done_sum) - int(term_sum),
+        # per-step boolean info flags summed over the rollout (e.g. the CA
+        # env's arrived/collision outcome counts)
+        **{f"info_{k}": int(v) for k, v in sorted(flag_sums.items())},
     )
     (out / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary), flush=True)
