@@ -10,6 +10,7 @@ from gymnasium.utils.env_checker import check_env
 
 from usv_tpu.compat import (
     UsvAsmcCaEnv,
+    UsvCurvedAitsmcEnv,
     UsvSimpleAITSMCEnv,
     UsvSimpleASMCEnv,
     UsvSimpleEnv,
@@ -17,7 +18,9 @@ from usv_tpu.compat import (
 
 
 @pytest.mark.parametrize(
-    "cls", [UsvSimpleEnv, UsvSimpleASMCEnv, UsvSimpleAITSMCEnv, UsvAsmcCaEnv]
+    "cls",
+    [UsvSimpleEnv, UsvSimpleASMCEnv, UsvSimpleAITSMCEnv, UsvAsmcCaEnv,
+     UsvCurvedAitsmcEnv],
 )
 def test_check_env(cls):
     env = cls(render_mode="rgb_array")
