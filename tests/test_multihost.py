@@ -75,6 +75,134 @@ _WORKER = textwrap.dedent(
 )
 
 
+_SAC_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from usv_tpu.parallel.dist import initialize_distributed
+
+    pid = int(sys.argv[1])
+    initialize_distributed(
+        coordinator_address="127.0.0.1:%PORT%", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from usv_tpu.envs import make
+    from usv_tpu.parallel.mesh import make_env_mesh
+    from usv_tpu.train.sac import SacConfig, SacLearner
+
+    mesh = make_env_mesh()  # all 8 global devices
+    batch = NamedSharding(mesh, P("env"))
+    repl = NamedSharding(mesh, P())
+
+    B = 16
+    cfg = SacConfig(
+        num_envs=B, buffer_size=256, batch_size=32, learning_starts=0,
+        train_freq=2, gradient_steps=2, hidden=(32, 32), frame_stack=2,
+    )
+    learner = SacLearner(make("usv-simple"), cfg)
+    # both processes compute the identical full state (same seed), then
+    # assemble the global sharded train state from their local halves
+    ts = jax.device_get(learner.init(seed=0))
+
+    def g(sharding, x):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(g(sharding, jax.random.key_data(x)))
+        x = np.asarray(x)
+        if x.ndim == 0:
+            sharding = repl  # counters (ptr/size) replicate
+        elif sharding is batch:
+            n = x.shape[0] // 2
+            x = x[pid * n:(pid + 1) * n]
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    def g_tree(sharding, tree):
+        return jax.tree.map(lambda x: g(sharding, x), tree)
+
+    key_global = jax.random.wrap_key_data(
+        g(repl, jax.random.key_data(ts.key))
+    )
+    ts = ts.replace(
+        actor_params=g_tree(repl, ts.actor_params),
+        critic_params=g_tree(repl, ts.critic_params),
+        target_critic_params=g_tree(repl, ts.target_critic_params),
+        log_alpha=g(repl, ts.log_alpha),
+        actor_opt=g_tree(repl, ts.actor_opt),
+        critic_opt=g_tree(repl, ts.critic_opt),
+        alpha_opt=g_tree(repl, ts.alpha_opt),
+        buffer=g_tree(batch, ts.buffer),
+        env_state=g_tree(batch, ts.env_state),
+        frames=g_tree(batch, ts.frames),
+        key=key_global,
+        env_steps=g(repl, ts.env_steps),
+        grad_steps=g(repl, ts.grad_steps),
+    )
+
+    # the FULL train cycle (collect + replay insert + updates) as one SPMD
+    # program across both processes
+    ts, reward = learner.train_rounds(ts, 2)
+    leaf = jax.tree.leaves(ts.actor_params)[0]
+    print(json.dumps({
+        "pid": pid,
+        "reward": float(reward),
+        "grad_steps": int(ts.grad_steps),
+        "param0": float(jax.device_get(leaf).ravel()[0]),
+    }))
+    """
+)
+
+
+def _run_two_process(tmp_path, script_template):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(script_template.replace("%PORT%", str(port)))
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "PYTHONPATH": os.getcwd(),
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+def test_two_process_distributed_sac_training(tmp_path):
+    """BASELINE config 5: sharded env batch on 2 processes feeding one SAC
+    learner — collect, replay insert, and gradient updates run as one SPMD
+    program; both processes must agree on the psum-reduced results."""
+    outs = _run_two_process(tmp_path, _SAC_WORKER)
+    assert outs[0]["reward"] == pytest.approx(outs[1]["reward"], rel=1e-6)
+    assert outs[0]["grad_steps"] == outs[1]["grad_steps"] == 4
+    # replicated params stayed bit-identical across hosts after updates
+    assert outs[0]["param0"] == pytest.approx(outs[1]["param0"], abs=0.0)
+
+
 def test_two_process_distributed_env_step(tmp_path):
     import socket
 
