@@ -21,7 +21,6 @@ def main():
     p.add_argument("--out", default=None, help="output png (default: show)")
     args = p.parse_args()
 
-    import jax.numpy as jnp
     import matplotlib
     import numpy as np
 

@@ -130,9 +130,6 @@ _SAC_WORKER = textwrap.dedent(
     def g_tree(sharding, tree):
         return jax.tree.map(lambda x: g(sharding, x), tree)
 
-    key_global = jax.random.wrap_key_data(
-        g(repl, jax.random.key_data(ts.key))
-    )
     ts = ts.replace(
         actor_params=g_tree(repl, ts.actor_params),
         critic_params=g_tree(repl, ts.critic_params),
@@ -144,7 +141,7 @@ _SAC_WORKER = textwrap.dedent(
         buffer=g_tree(batch, ts.buffer),
         env_state=g_tree(batch, ts.env_state),
         frames=g_tree(batch, ts.frames),
-        key=key_global,
+        key=g(repl, ts.key),
         env_steps=g(repl, ts.env_steps),
         grad_steps=g(repl, ts.grad_steps),
     )

@@ -19,6 +19,7 @@ import numpy as np
 
 from usv_tpu.envs.autoreset import make_autoreset_step
 from usv_tpu.envs.registry import EnvHandle
+from usv_tpu.vector.frames import init_frames, push_frames
 
 
 def rollout_with_info(
@@ -40,18 +41,14 @@ def rollout_with_info(
     def run(key):
         state = handle.reset(cfg, key)
         obs0 = handle.reset_obs(cfg, state)
-        if frame_stack:
-            frames0 = jnp.tile(obs0[None, :], (frame_stack, 1))
-        else:
-            frames0 = obs0[None, :]
+        frames0 = init_frames(obs0, frame_stack)
 
         def body(carry, _):
             state, frames = carry
             obs_in = frames.reshape(-1)
             action = policy_fn(obs_in)
             state, ts = auto(state, action)
-            new_frames = jnp.concatenate([frames[1:], ts.obs[None, :]], axis=0)
-            new_frames = jnp.where(ts.done, jnp.tile(ts.obs[None, :], (frames.shape[0], 1)), new_frames)
+            new_frames = push_frames(frames, ts.obs, ts.done)
             out = {"obs": ts.obs, "reward": ts.reward, "done": ts.done, **ts.info}
             return (state, new_frames), out
 

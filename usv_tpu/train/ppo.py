@@ -25,6 +25,7 @@ from flax import struct
 from usv_tpu.envs.autoreset import make_autoreset_step
 from usv_tpu.envs.registry import EnvHandle
 from usv_tpu.models.mlp import PpoActorCritic
+from usv_tpu.vector.frames import init_frames, push_frames
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,7 +94,7 @@ class PpoLearner:
         env_keys = jax.random.split(k_env, cfg.num_envs)
         env_state = jax.vmap(lambda k: self.handle.reset(self.handle.cfg, k))(env_keys)
         obs0 = jax.vmap(lambda s: self.handle.reset_obs(self.handle.cfg, s))(env_state)
-        frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
+        frames = init_frames(obs0, cfg.frame_stack)
         sde = None
         if cfg.use_sde:
             from usv_tpu.models.sde import init_sde
@@ -139,15 +140,7 @@ class PpoLearner:
                 jnp.asarray(self.handle.cfg.action_high),
             )
             env_state, step_ts = self._auto_step(env_state, clipped)
-            new_frames = jnp.concatenate(
-                [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
-            )
-            done = step_ts.done[:, None, None]
-            new_frames = jnp.where(
-                done,
-                jnp.tile(step_ts.obs[:, None, :], (1, frames.shape[1], 1)),
-                new_frames,
-            )
+            new_frames = push_frames(frames, step_ts.obs, step_ts.done)
             # Time-limit (truncation) bootstrap, SB3-style: when an episode is
             # truncated but not terminated, add gamma * V(terminal_obs) to the
             # reward so GAE can treat every done as terminal.

@@ -41,6 +41,7 @@ def main(argv=None):
     from usv_tpu.envs import make
     from usv_tpu.envs.autoreset import make_autoreset_step
     from usv_tpu.train.evaluate import plot_diagnostics, rollout_with_info
+    from usv_tpu.vector.frames import init_frames, push_frames
 
     handle = make(args.env)
     out = Path(args.out)
@@ -84,20 +85,13 @@ def main(argv=None):
             jax.random.split(key, num_envs)
         )
         obs0 = jax.vmap(lambda s: handle.reset_obs(cfg, s))(state)
-        frames = jnp.tile(obs0[:, None, :], (1, stack, 1))
+        frames = init_frames(obs0, stack)
 
         def body(carry, _):
             state, frames = carry
             actions = batch_policy_fn(frames.reshape(num_envs, -1))
             state, ts = auto(state, actions)
-            new_frames = jnp.concatenate(
-                [frames[:, 1:, :], ts.obs[:, None, :]], axis=1
-            )
-            new_frames = jnp.where(
-                ts.done[:, None, None],
-                jnp.tile(ts.obs[:, None, :], (1, stack, 1)),
-                new_frames,
-            )
+            new_frames = push_frames(frames, ts.obs, ts.done)
             flags = {
                 k: jnp.sum(v) for k, v in ts.info.items()
                 if hasattr(v, "dtype") and v.dtype == jnp.bool_ and v.ndim == 1

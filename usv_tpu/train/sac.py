@@ -36,6 +36,7 @@ from usv_tpu.train.buffer import (
     buffer_init,
     buffer_sample,
 )
+from usv_tpu.vector.frames import init_frames, push_frames
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,7 +177,7 @@ class SacLearner:
         env_keys = jax.random.split(k_env, cfg.num_envs)
         env_state = jax.vmap(lambda k: self.handle.reset(self.handle.cfg, k))(env_keys)
         obs0 = jax.vmap(lambda s: self.handle.reset_obs(self.handle.cfg, s))(env_state)
-        frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
+        frames = init_frames(obs0, cfg.frame_stack)
 
         sde = None
         if cfg.use_sde:
@@ -249,16 +250,7 @@ class SacLearner:
                 sde = maybe_resample(sde, k_resample, cfg.sde_sample_freq)
             actions = self._policy_action(ts, obs, k_action, random_phase, sde)
             env_state, step_ts = self._auto_step(env_state, actions)
-
-            new_frames = jnp.concatenate(
-                [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
-            )
-            done = step_ts.done[:, None, None]
-            new_frames = jnp.where(
-                done,
-                jnp.tile(step_ts.obs[:, None, :], (1, frames.shape[1], 1)),
-                new_frames,
-            )
+            new_frames = push_frames(frames, step_ts.obs, step_ts.done)
             # next_obs for the buffer: terminal obs continuation (frames
             # shifted with the terminal observation, not the reset one)
             terminal_frames = jnp.concatenate(
@@ -518,22 +510,14 @@ class SacLearner:
             env_keys = jax.random.split(key, num_envs)
             env_state = jax.vmap(lambda k: handle.reset(handle.cfg, k))(env_keys)
             obs0 = jax.vmap(lambda s: handle.reset_obs(handle.cfg, s))(env_state)
-            frames = jnp.tile(obs0[:, None, :], (1, max(1, cfg.frame_stack), 1))
+            frames = init_frames(obs0, cfg.frame_stack)
 
             def body(carry, _):
                 env_state, frames = carry
                 obs = frames.reshape(num_envs, -1)
                 actions = self.actor.deterministic(actor_params, obs)
                 env_state, step_ts = self._auto_step(env_state, actions)
-                new_frames = jnp.concatenate(
-                    [frames[:, 1:, :], step_ts.obs[:, None, :]], axis=1
-                )
-                done = step_ts.done[:, None, None]
-                new_frames = jnp.where(
-                    done,
-                    jnp.tile(step_ts.obs[:, None, :], (1, frames.shape[1], 1)),
-                    new_frames,
-                )
+                new_frames = push_frames(frames, step_ts.obs, step_ts.done)
                 return (env_state, new_frames), jnp.mean(step_ts.reward)
 
             _, rewards = jax.lax.scan(body, (env_state, frames), None, length=n_steps)

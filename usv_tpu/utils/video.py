@@ -78,29 +78,23 @@ def record_rollout_video(
     Returns (video_path, episode_reward).
     """
     import jax
-    import jax.numpy as jnp
 
     from usv_tpu.envs.autoreset import make_autoreset_step
+    from usv_tpu.vector.frames import init_frames, push_frames
 
     cfg = handle.cfg
     auto = make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
-    stack = max(1, frame_stack)
 
     @jax.jit
     def run(key):
         state = handle.reset(cfg, key)
-        obs0 = handle.reset_obs(cfg, state)
-        frames0 = jnp.tile(obs0[None, :], (stack, 1))
+        frames0 = init_frames(handle.reset_obs(cfg, state), frame_stack)
 
         def body(carry, _):
             state, frames = carry
             action = policy_fn(frames.reshape(-1))
             state, ts = auto(state, action)
-            new_frames = jnp.concatenate([frames[1:], ts.obs[None, :]], axis=0)
-            new_frames = jnp.where(
-                ts.done, jnp.tile(ts.obs[None, :], (stack, 1)), new_frames
-            )
-            return (state, new_frames), (state, ts.done, ts.reward)
+            return (state, push_frames(frames, ts.obs, ts.done)), (state, ts.done, ts.reward)
 
         _, (states, done, reward) = jax.lax.scan(
             body, (state, frames0), None, length=n_steps

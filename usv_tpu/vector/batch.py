@@ -69,22 +69,18 @@ class BatchedEnv:
         obs = self._vreset_obs(env_state)
         frames = None
         if self.frame_stack:
-            frames = jnp.tile(obs[:, None, :], (1, self.frame_stack, 1))
+            from usv_tpu.vector.frames import init_frames
+
+            frames = init_frames(obs, self.frame_stack)
         return BatchState(env=env_state, frames=frames), obs
 
     def _step_impl(self, state: BatchState, actions):
         env_state, ts = self._vstep(state.env, actions)
         frames = state.frames
         if self.frame_stack:
-            frames = jnp.concatenate(
-                [state.frames[:, 1:, :], ts.obs[:, None, :]], axis=1
-            )
-            # On reset (done), the new episode's first obs fills the stack,
-            # matching VecFrameStack-after-reset semantics.
-            done = ts.done[:, None, None]
-            frames = jnp.where(
-                done, jnp.tile(ts.obs[:, None, :], (1, self.frame_stack, 1)), frames
-            )
+            from usv_tpu.vector.frames import push_frames
+
+            frames = push_frames(state.frames, ts.obs, ts.done)
         return BatchState(env=env_state, frames=frames), ts
 
     # -- public API ------------------------------------------------------
