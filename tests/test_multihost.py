@@ -161,6 +161,7 @@ _SAC_WORKER = textwrap.dedent(
 
 
 def _run_two_process(tmp_path, script_template):
+    import concurrent.futures
     import socket
 
     with socket.socket() as s:
@@ -181,9 +182,18 @@ def _run_two_process(tmp_path, script_template):
         )
         for pid in (0, 1)
     ]
+    try:
+        # drain both pipes concurrently (a worker blocked on a full pipe
+        # would stall the collective it shares with its sibling)
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            futures = [ex.submit(p.communicate, timeout=420) for p in procs]
+            results = [f.result(timeout=440) for f in futures]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=420)
+    for p, (out, err) in zip(procs, results):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
     return outs
@@ -201,33 +211,6 @@ def test_two_process_distributed_sac_training(tmp_path):
 
 
 def test_two_process_distributed_env_step(tmp_path):
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
-    script = _WORKER.replace("%PORT%", str(port))
-    worker_py = tmp_path / "worker.py"
-    worker_py.write_text(script)
-
-    env = {
-        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
-        "PYTHONPATH": os.getcwd(),
-        "HOME": os.environ.get("HOME", "/root"),
-    }
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker_py), str(pid)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
-
+    outs = _run_two_process(tmp_path, _WORKER)
     # both hosts computed the SAME global psum-reduced metric
     assert outs[0]["mean_reward"] == pytest.approx(outs[1]["mean_reward"], rel=1e-6)

@@ -14,7 +14,6 @@ from pathlib import Path
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from usv_tpu.envs.autoreset import make_autoreset_step

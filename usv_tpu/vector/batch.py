@@ -20,6 +20,7 @@ from flax import struct
 from usv_tpu.envs.autoreset import make_autoreset_step
 from usv_tpu.envs.registry import EnvHandle
 from usv_tpu.envs.types import TimeStep
+from usv_tpu.vector.frames import init_frames, push_frames
 
 
 @struct.dataclass
@@ -69,8 +70,6 @@ class BatchedEnv:
         obs = self._vreset_obs(env_state)
         frames = None
         if self.frame_stack:
-            from usv_tpu.vector.frames import init_frames
-
             frames = init_frames(obs, self.frame_stack)
         return BatchState(env=env_state, frames=frames), obs
 
@@ -78,8 +77,6 @@ class BatchedEnv:
         env_state, ts = self._vstep(state.env, actions)
         frames = state.frames
         if self.frame_stack:
-            from usv_tpu.vector.frames import push_frames
-
             frames = push_frames(state.frames, ts.obs, ts.done)
         return BatchState(env=env_state, frames=frames), ts
 
