@@ -61,6 +61,34 @@ def test_sharded_sac_round_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a SHARDED train state: restore into a sharded
+    template, keep training — checkpointing at scale (docs/SCALING.md)."""
+    from usv_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = SacConfig(
+        num_envs=16, buffer_size=512, batch_size=32, learning_starts=0,
+        train_freq=2, gradient_steps=1, hidden=(32, 32), frame_stack=2,
+    )
+    learner = SacLearner(make("usv-simple"), cfg)
+    mesh = make_env_mesh()
+    ts = shard_sac_train_state(learner.init(seed=0), mesh)
+    ts, _ = learner.train_rounds(ts, 3)
+    save_checkpoint(tmp_path / "ckpt", ts, 7)
+
+    template = shard_sac_train_state(learner.init(seed=1), mesh)
+    restored, step = restore_checkpoint(tmp_path / "ckpt", template)
+    assert step == 7
+    # restored with the template's shardings, values from the saved state
+    assert len(restored.frames.sharding.device_set) == 8
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.actor_params)[0]),
+        np.asarray(jax.tree.leaves(ts.actor_params)[0]),
+    )
+    restored, reward = learner.train_rounds(restored, 2)
+    assert np.isfinite(float(reward))
+
+
 def test_sharded_ppo_iteration_runs():
     cfg = PpoConfig(
         n_steps=32, batch_size=32, n_epochs=1, num_envs=8,
