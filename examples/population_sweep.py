@@ -39,7 +39,10 @@ def main():
         buffer_size=args.buffer_size,
         learning_starts=args.learning_starts,
         learning_rate=3e-4,
-        fused_updates=True,
+        # partial fusion keeps sample efficiency (full fusion collapses it —
+        # docs/PERFORMANCE.md "Fusion vs sample efficiency")
+        gradient_steps=64,
+        update_fusion=8,
     )
     learner = SacLearner(make(args.env), cfg)
     ts = learner.init_many(list(range(args.seeds)))
