@@ -175,6 +175,7 @@ def reset(cfg: CaEnvConfig, key) -> CaEnvState:
     # the bootstrap step must not consume episode budget or perturb window
     return state.replace(
         step_count=jnp.zeros((), jnp.int32),
+        perturb_step=jnp.zeros((), jnp.int32),
     )
 
 

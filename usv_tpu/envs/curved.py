@@ -16,9 +16,11 @@ an environment; it is exercised only from notebooks/legacy experiments
 * each step runs the AITSMC controller + Fossen dynamics substep loop
   (the usv-aitsmc-simple inner loop) with the policy action as (u, r)
   setpoints, EMA-filtered like simple_env_aitsmc.py:58;
-* observation/reward follow the simple-env shaping (exp-of-ye, heading
-  alignment, velocity tracking, action smoothness, collision) with the same
-  constants.
+* observation/reward follow the simple-env shaping in FORM (exp-of-ye,
+  heading alignment, velocity tracking, action smoothness, collision) but
+  with constants tuned for the curved task: ``ye_k`` defaults to 0.5 (the
+  simple env uses 0.075) and the ye term is a single exponential rather
+  than the simple env's max-of-exponentials.
 """
 
 from __future__ import annotations

@@ -64,44 +64,35 @@ def _register_builtin():
         simple_aitsmc.SimpleAitsmcEnvConfig,
         simple_aitsmc.reset, simple_aitsmc.step, simple_aitsmc.reset_obs,
     )
-    try:
-        from usv_tpu.envs import asmc_ca
+    from usv_tpu.envs import asmc_ca
 
-        register(
-            "usv-asmc-ca-v0",
-            asmc_ca.CaEnvConfig, asmc_ca.reset, asmc_ca.step, asmc_ca.reset_obs,
-        )
-    except ImportError:
-        pass
-    try:
-        from usv_tpu.envs import curved
+    register(
+        "usv-asmc-ca-v0",
+        asmc_ca.CaEnvConfig, asmc_ca.reset, asmc_ca.step, asmc_ca.reset_obs,
+    )
+    from usv_tpu.envs import curved
 
-        register(
-            "usv-curved-aitsmc",
-            curved.CurvedEnvConfig, curved.reset, curved.step, curved.reset_obs,
-        )
-    except ImportError:
-        pass
-    try:
-        from usv_tpu.envs import legacy
+    register(
+        "usv-curved-aitsmc",
+        curved.CurvedEnvConfig, curved.reset, curved.step, curved.reset_obs,
+    )
+    from usv_tpu.envs import legacy
 
-        register(
-            "usv-asmc-v0",
-            legacy.LegacyAsmcConfig, legacy.reset_asmc, legacy.step_asmc,
-            legacy.reset_obs_asmc,
-        )
-        register(
-            "usv-pid-v0",
-            legacy.LegacyPidConfig, legacy.reset_pid, legacy.step_pid,
-            legacy.reset_obs_pid,
-        )
-        register(
-            "usv-asmc-ye-int-v0",
-            legacy.LegacyYeIntConfig, legacy.reset_ye_int, legacy.step_ye_int,
-            legacy.reset_obs_ye_int,
-        )
-    except ImportError:
-        pass
+    register(
+        "usv-asmc-v0",
+        legacy.LegacyAsmcConfig, legacy.reset_asmc, legacy.step_asmc,
+        legacy.reset_obs_asmc,
+    )
+    register(
+        "usv-pid-v0",
+        legacy.LegacyPidConfig, legacy.reset_pid, legacy.step_pid,
+        legacy.reset_obs_pid,
+    )
+    register(
+        "usv-asmc-ye-int-v0",
+        legacy.LegacyYeIntConfig, legacy.reset_ye_int, legacy.step_ye_int,
+        legacy.reset_obs_ye_int,
+    )
 
 
 _register_builtin()

@@ -25,8 +25,12 @@ Known deliberate divergences (documented, not bugs):
   :47,:302); here reset always behaves like a fresh env (zeros).
 * Obstacle count: uniform over [15, 30) at cap 32, mask-padded; the
   "delete near start/target" pass invalidates mask bits instead of shrinking
-  the array (:260-268), and the "add one back if empty" branch re-validates
-  slot 0 (:270-274).
+  the array (:260-268), and the "add one back if none survive" branch
+  re-enables slot 0 at a fresh uniform position (:270-274).
+* With ``path_obstacles > 0`` the last ``path_obstacles`` capacity slots are
+  reserved, so the random count is clipped to ``obstacle_cap -
+  path_obstacles``; the reference appends path obstacles on top of the full
+  random draw (raise ``obstacle_cap`` to recover the reference's counts).
 """
 
 from __future__ import annotations
@@ -303,8 +307,19 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     )
     near = (d_pos < 0.5) | (d_tgt < 0.5)
     keep = obs_mask & ~(near & (slot < n_random))
-    # "Place one obstacle back in" if everything got deleted (reference :270-274)
-    keep = jnp.where(jnp.any(keep), keep, obs_mask & (slot == 0))
+    # "Place one obstacle back in" if every random obstacle got deleted
+    # (reference :270-274: the check runs BEFORE path obstacles are placed
+    # and draws a fresh uniform position — re-enable slot 0 likewise, at a
+    # fresh position rather than its pruned one)
+    no_random = ~jnp.any(keep & (slot < n_random))
+    fallback_xy = jax.random.uniform(
+        jax.random.fold_in(keys[10], 7), (2,),
+        minval=0.0, maxval=cfg.env_bound,
+    )
+    obs_xy = jnp.where(
+        (no_random & (slot == 0))[:, None], fallback_xy[None, :], obs_xy
+    )
+    keep = keep | (no_random & (slot == 0))
 
     return SimpleEnvState(
         key=keys[12],
