@@ -36,6 +36,38 @@ def _run_pid(action, n=500):
     return np.asarray(out.dyn.pose), np.asarray(out.dyn.vel)
 
 
+def test_runner_matches_pid_compute():
+    """The generic substep driver reproduces pid_compute exactly and returns
+    per-substep histories (the update_controller_and_model_n analog)."""
+    from usv_tpu.control.pid import pid_control
+    from usv_tpu.control.runner import run_controller_and_model
+
+    action = jnp.asarray([1.2, 0.3], jnp.float32)
+
+    def control_fn(ctrl, dyn):
+        return pid_control(
+            PidGains(), VPAR, ctrl, action[0], action[1], dyn.pose, dyn.vel
+        )
+
+    ctrl, dyn = init_pid(), init_dynamics()
+    for _ in range(20):
+        ctrl, dyn, model_hist, ctrl_hist = run_controller_and_model(
+            control_fn, VPAR, ctrl, dyn, n_substeps=10
+        )
+    assert model_hist["pose"].shape == (10, 3)
+    assert "tport" in ctrl_hist
+
+    loop = PidLoopState(
+        ctrl=init_pid(), dyn=init_dynamics(),
+        perturb_step=jnp.zeros((), jnp.int32),
+    )
+    for _ in range(20):
+        loop, _h = pid_compute(PidGains(), VPAR, loop, action)
+    np.testing.assert_allclose(
+        np.asarray(dyn.pose), np.asarray(loop.dyn.pose), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_pid_tracks_speed():
     pos, vel = _run_pid([1.0, 0.0])
     assert abs(vel[0] - 1.0) < 0.2

@@ -59,6 +59,34 @@ def test_asmc_closed_loop_parity():
     )
 
 
+def test_asmc_absolute_heading_parity():
+    """Absolute-heading mode (the CA env's contract) incl. setpoints that
+    cross the +-pi seam — the seam-wrap of the r_d finite difference and
+    the total e_psi wrap must agree between JAX and the C oracle."""
+    model = native.DynamicModel()
+    asmc = native.ASMC()
+    loop = init_asmc_loop()
+    gains = AsmcGains()
+
+    run = jax.jit(
+        lambda l, a: asmc_compute(gains, VP, l, a, absolute_heading=True)[0]
+    )
+    rng = np.random.default_rng(5)
+    for i in range(100):
+        # heading setpoints hugging the seam, alternating sign
+        heading = float((np.pi - 0.05) * (-1) ** i + rng.uniform(-0.02, 0.02))
+        asmc.compute(model, 1.2, heading, n=10, absolute_heading=True)
+        loop = run(loop, jnp.asarray([1.2, heading], jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(loop.dyn.pose), model.pose, rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(loop.dyn.vel), model.vel, rtol=5e-3, atol=5e-3
+    )
+    # the seam crossings must not have blown up the controller
+    assert np.all(np.abs(model.vel) < 10.0)
+
+
 def test_asmc_perturbed_parity():
     model = native.DynamicModel()
     asmc = native.ASMC()

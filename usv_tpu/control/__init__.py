@@ -14,9 +14,11 @@ from usv_tpu.control.pid import (
 )
 from usv_tpu.control.aitsmc import (
     AitsmcGains,
+    AitsmcLoopState,
     AitsmcState,
     AitsmcSetpoint,
     init_aitsmc,
     aitsmc_control,
+    aitsmc_compute,
 )
 from usv_tpu.control.runner import run_controller_and_model

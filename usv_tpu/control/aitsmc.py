@@ -29,7 +29,7 @@ from flax import struct
 from usv_tpu.physics.dynamics import (
     DynamicsState,
     dynamics_step,
-    hydrodynamic_coefficients,
+    surge_yaw_model_terms,
 )
 from usv_tpu.physics.params import VehicleParams
 
@@ -85,9 +85,16 @@ class AitsmcState:
     ka_r: jnp.ndarray
     ka_dot_u_last: jnp.ndarray
     ka_dot_r_last: jnp.ndarray
-    # last debug values, exposed like C++ getDebugData() (e_u, e_r, Ka_u, Ka_r)
-    e_u: jnp.ndarray
-    e_r: jnp.ndarray
+
+    # C++ getDebugData() exposed the last errors as (e_u, e_r, Ka_u, Ka_r);
+    # e_u_last/e_r_last hold exactly those values after each update
+    @property
+    def e_u(self):
+        return self.e_u_last
+
+    @property
+    def e_r(self):
+        return self.e_r_last
 
 
 def init_aitsmc(batch_shape=(), dtype=jnp.float32) -> AitsmcState:
@@ -95,7 +102,6 @@ def init_aitsmc(batch_shape=(), dtype=jnp.float32) -> AitsmcState:
     return AitsmcState(
         e_u_int=z, e_r_int=z, e_u_last=z, e_r_last=z,
         ka_u=z, ka_r=z, ka_dot_u_last=z, ka_dot_r_last=z,
-        e_u=z, e_r=z,
     )
 
 
@@ -110,11 +116,7 @@ def aitsmc_control(
     """One 100 Hz AITSMC update -> (state, tport, tstbd, debug)."""
     u, v, r = vel[..., 0], vel[..., 1], vel[..., 2]
 
-    Xu, Xuu, _, _, _, Nr = hydrodynamic_coefficients(u, v)
-    g_u = 1.0 / (vparams.m - vparams.X_u_dot)
-    g_r = 1.0 / (vparams.Iz - vparams.N_r_dot)
-    f_u = ((vparams.m - vparams.Y_v_dot) * v * r + (Xuu * jnp.abs(u) + Xu * u)) * g_u
-    f_r = ((-vparams.X_u_dot + vparams.Y_v_dot) * u * v + Nr * r) * g_r
+    f_u, f_r, g_u, g_r = surge_yaw_model_terms(vparams, u, v, r)
 
     # Tracking errors
     e_u = setpoint.u - u
@@ -160,7 +162,6 @@ def aitsmc_control(
         e_u_last=e_u, e_r_last=e_r,
         ka_u=ka_u, ka_r=ka_r,
         ka_dot_u_last=ka_dot_u, ka_dot_r_last=ka_dot_r,
-        e_u=e_u, e_r=e_r,
     )
     debug = {
         "e_u": e_u, "e_r": e_r, "Ka_u": ka_u, "Ka_r": ka_r,

@@ -26,7 +26,7 @@ from usv_tpu.core.angles import wrap_angle, wrap_angle_once
 from usv_tpu.physics.dynamics import (
     DynamicsState,
     dynamics_step,
-    hydrodynamic_coefficients,
+    surge_yaw_model_terms,
     perturbation_force,
 )
 from usv_tpu.physics.params import VehicleParams
@@ -115,19 +115,21 @@ def asmc_control(
         beta = jnp.arcsin(v / (0.001 + jnp.hypot(u, v)))
         psi_d = psi + beta + heading_offset
 
-    # Second-order filter for the desired yaw rate r_d (reference :84-92)
-    r_d_raw = (psi_d - state.psi_d_last) / dt
+    # Second-order filter for the desired yaw rate r_d (reference :84-92).
+    # In absolute mode the setpoint lives on the circle: wrap the finite
+    # difference, or a setpoint crossing the +-pi seam (3.1 -> -3.1, a
+    # 0.08 rad turn) injects a ~2*pi/dt spike into the desired yaw rate.
+    psi_d_diff = psi_d - state.psi_d_last
+    if absolute_heading:
+        psi_d_diff = wrap_angle(psi_d_diff)
+    r_d_raw = psi_d_diff / dt
     o_dot_dot = ((r_d_raw - state.o) * gains.f1 - gains.f3 * state.o_dot) * gains.f2
     o_dot = 0.5 * dt * (o_dot_dot + state.o_dot_dot_last) + state.o_dot
     o = 0.5 * dt * (o_dot + state.o_dot) + state.o
     r_d = o
 
     # Simplified surge/yaw model terms f, g (reference :110-116)
-    Xu, Xuu, _, _, _, Nr = hydrodynamic_coefficients(u, v)
-    g_u = 1.0 / (vparams.m - vparams.X_u_dot)
-    g_psi = 1.0 / (vparams.Iz - vparams.N_r_dot)
-    f_u = ((vparams.m - vparams.Y_v_dot) * v * r + (Xuu * jnp.abs(u) + Xu * u)) * g_u
-    f_psi = ((-vparams.X_u_dot + vparams.Y_v_dot) * u * v + Nr * r) * g_psi
+    f_u, f_psi, g_u, g_psi = surge_yaw_model_terms(vparams, u, v, r)
 
     # Errors (reference :119-129); single-branch wrap kept for parity with
     # the Python reference in offset mode. In absolute mode psi is unbounded

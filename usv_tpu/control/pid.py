@@ -25,7 +25,7 @@ from usv_tpu.core.angles import wrap_angle
 from usv_tpu.physics.dynamics import (
     DynamicsState,
     dynamics_step,
-    hydrodynamic_coefficients,
+    surge_yaw_model_terms,
 )
 from usv_tpu.physics.params import VehicleParams
 
@@ -73,11 +73,7 @@ def pid_control(
     beta = jnp.arcsin(v / (0.001 + jnp.hypot(u, v)))
     psi_d = wrap_angle(psi + heading_offset + beta)
 
-    Xu, Xuu, _, _, _, Nr = hydrodynamic_coefficients(u, v)
-    g_u = 1.0 / (vparams.m - vparams.X_u_dot)
-    g_psi = 1.0 / (vparams.Iz - vparams.N_r_dot)
-    f_u = ((vparams.m - vparams.Y_v_dot) * v * r + (Xuu * jnp.abs(u) + Xu * u)) * g_u
-    f_psi = ((-vparams.X_u_dot + vparams.Y_v_dot) * u * v + Nr * r) * g_psi
+    f_u, f_psi, g_u, g_psi = surge_yaw_model_terms(vparams, u, v, r)
 
     e_psi = wrap_angle(psi_d - psi)
     e_psi_dot = -r

@@ -174,8 +174,11 @@ void usv_asmc_control(double* a, const double* dyn, double u_d,
     psi_d = psi + beta + heading;
   }
 
-  // second-order filter for r_d
-  const double r_d_raw = (psi_d - a[0]) / dt;
+  // second-order filter for r_d (absolute mode: the setpoint lives on the
+  // circle — wrap the finite difference across the +-pi seam)
+  double psi_d_diff = psi_d - a[0];
+  if (absolute_heading) psi_d_diff = wrap_atan2(psi_d_diff);
+  const double r_d_raw = psi_d_diff / dt;
   const double o_dot_dot = ((r_d_raw - a[2]) * f1 - f3 * a[4]) * f2;
   const double o_dot = 0.5 * dt * (o_dot_dot + a[5]) + a[3];
   const double o = 0.5 * dt * (o_dot + a[4]) + a[1];
@@ -184,7 +187,10 @@ void usv_asmc_control(double* a, const double* dyn, double u_d,
   double f_u, f_psi, g_u, g_psi;
   fg_terms(u, v, r, f_u, f_psi, g_u, g_psi);
 
-  const double e_psi = wrap_once(psi_d - psi);
+  // offset mode keeps the reference's single-branch wrap; absolute mode
+  // needs the total wrap (psi is unbounded — matches the JAX side)
+  const double e_psi = absolute_heading ? wrap_atan2(psi_d - psi)
+                                        : wrap_once(psi_d - psi);
   const double e_psi_dot = r_d - r;
   const double e_u = u_d - u;
   const double e_u_int = 0.5 * dt * (e_u + a[6]) + a[7];

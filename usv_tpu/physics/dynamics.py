@@ -82,6 +82,18 @@ def hydrodynamic_coefficients(u, v):
     return Xu, Xuu, Yv, Yr, Nv, Nr
 
 
+def surge_yaw_model_terms(params: VehicleParams, u, v, r):
+    """Simplified surge/yaw model (f_u, f_psi, g_u, g_psi) shared by every
+    inner-loop controller (reference control/usv_asmc.py:110-116; the native
+    oracle's ``fg_terms``)."""
+    Xu, Xuu, _, _, _, Nr = hydrodynamic_coefficients(u, v)
+    g_u = 1.0 / (params.m - params.X_u_dot)
+    g_psi = 1.0 / (params.Iz - params.N_r_dot)
+    f_u = ((params.m - params.Y_v_dot) * v * r + (Xuu * jnp.abs(u) + Xu * u)) * g_u
+    f_psi = ((-params.X_u_dot + params.Y_v_dot) * u * v + Nr * r) * g_psi
+    return f_u, f_psi, g_u, g_psi
+
+
 def thruster_allocation(params: VehicleParams, tport, tstbd):
     """Port/starboard thrusts -> generalized force tau = (Tx, 0, Tz).
 
