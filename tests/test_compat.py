@@ -132,4 +132,21 @@ def test_vector_env_adapter():
     assert rewards.shape == (8,)
     assert terminated.dtype == bool
     assert infos["terminal_observation"].shape == (8, 143)
+    # gymnasium-conventional key + SameStep autoreset declaration
+    assert infos["final_obs"].shape == (8, 143)
+    assert venv.metadata["autoreset_mode"] == "SameStep"
     venv.close()
+
+
+def test_legacy_render_smoke():
+    import os
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    from usv_tpu.compat import UsvAsmcEnv
+
+    env = UsvAsmcEnv(render_mode="rgb_array")
+    env.reset(seed=1)
+    env.step(np.asarray([0.2], np.float32))
+    frame = env.render()
+    assert frame.shape == (512, 512, 3) and frame.dtype == np.uint8
+    env.close()

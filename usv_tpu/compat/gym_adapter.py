@@ -101,11 +101,19 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
             # itself runs on-device from the jax key below)
             super().reset(seed=seed)
         options = options or {}
-        if "place_obstacles_on_path" in options and options["place_obstacles_on_path"]:
-            n = int(options["place_obstacles_on_path"])
-            if self._config_overrides.get("path_obstacles") != n:
+        # per-reset option, like the reference (simple_env.py:276-288): it
+        # applies ONLY to resets that pass it (directly or via ctor options)
+        merged = {**self.options, **options}
+        n = int(merged.get("place_obstacles_on_path") or 0)
+        current = self._config_overrides.get("path_obstacles", 0)
+        if n != current and (n or getattr(self, "_path_obs_from_option", False)):
+            if n:
                 self._config_overrides["path_obstacles"] = n
-                self._build(self._config_overrides)
+                self._path_obs_from_option = True
+            else:
+                self._config_overrides.pop("path_obstacles", None)
+                self._path_obs_from_option = False
+            self._build(self._config_overrides)
         self._state = self._jit_reset(self._next_key(seed))
         self._state = self._apply_reset_options(self._state, {**self.options, **options})
         obs = np.asarray(self._jit_reset_obs(self._state))
@@ -201,12 +209,16 @@ class UsvSimpleAITSMCEnv(UsvSimpleEnv):
 
     def step(self, action):
         if self._aitsmc_params is not None:
-            action = jnp.asarray(action, dtype=jnp.float32).reshape((2,))
-            self._state, ts = jax.jit(
-                lambda s, a: self.handle.step(
-                    self.handle.cfg, s, a, gains=self._aitsmc_params
+            if not hasattr(self, "_jit_gains_step"):
+                # built once — a fresh jit per step would retrace/recompile
+                # every call (seconds each on a remote TPU)
+                self._jit_gains_step = jax.jit(
+                    lambda s, a: self.handle.step(
+                        self.handle.cfg, s, a, gains=self._aitsmc_params
+                    )
                 )
-            )(self._state, action)
+            action = jnp.asarray(action, dtype=jnp.float32).reshape((2,))
+            self._state, ts = self._jit_gains_step(self._state, action)
             return (
                 np.asarray(ts.obs), float(ts.reward),
                 bool(ts.terminated), bool(ts.truncated),
@@ -248,12 +260,49 @@ class UsvAsmcCaEnv(GymUsvEnv):
             pose = jnp.asarray(np.asarray(options["start_position"], np.float32))
             updates["dyn"] = state.dyn.replace(pose=pose)
         if updates:
+            from usv_tpu.control.asmc import init_asmc
+
             state = state.replace(**updates)
+            cfg = self.handle.cfg
+            # reference order (:358-402): apply overrides -> prune obstacles
+            # near start/target -> bootstrap step. Controller/vehicle state
+            # restarts fresh (the pre-override bootstrap is discarded).
+            margin = cfg.boat_radius + cfg.safety_radius + 0.35
+            pose = state.dyn.pose
+            d_start = (
+                jnp.hypot(state.obs_xy[:, 0] - pose[0], state.obs_xy[:, 1] - pose[1])
+                - state.obs_r - margin
+            )
+            d_tgt = (
+                jnp.hypot(
+                    state.obs_xy[:, 0] - state.target_point[0],
+                    state.obs_xy[:, 1] - state.target_point[1],
+                )
+                - state.obs_r - margin
+            )
+            z3 = jnp.zeros(3, jnp.float32)
+            state = state.replace(
+                obs_mask=state.obs_mask & (d_start >= 0) & (d_tgt >= 0),
+                ctrl=init_asmc(),
+                dyn=state.dyn.replace(
+                    vel=z3, accel_last=z3, eta_dot_last=z3
+                ),
+                action_history=jnp.zeros(2, jnp.float32),
+                filter_window=jnp.zeros_like(state.filter_window),
+                filter_window_i=jnp.zeros((), jnp.int32),
+                sensor_dist=jnp.full(
+                    cfg.sensor_num, cfg.sensor_max_range, jnp.float32
+                ),
+                state_vec=jnp.zeros(cfg.obs_dim, jnp.float32),
+            )
             # re-run the bootstrap step on the scripted scene (reference :402)
             state, _ = self._jit_step(
                 state, jnp.asarray([-1.0, 0.0], jnp.float32)
             )
-            state = state.replace(step_count=jnp.zeros((), jnp.int32))
+            state = state.replace(
+                step_count=jnp.zeros((), jnp.int32),
+                perturb_step=jnp.zeros((), jnp.int32),
+            )
         return state
 
     def _render_frame(self):
@@ -287,6 +336,13 @@ class UsvAsmcEnv(GymUsvEnv):
 
     env_id = "usv-asmc-v0"
     legacy_api = True
+
+    def _render_frame(self):
+        from usv_tpu.utils.viz import LegacyEnvRenderer
+
+        if self._renderer is None:
+            self._renderer = LegacyEnvRenderer(render_mode=self.render_mode)
+        return self._renderer.render_state(self.handle.cfg, self._state)
 
     def _make_observation_space(self, obs_dim):
         # [u, v_ak, r, ye, psi_ak, action_last] bounds per the reference

@@ -22,6 +22,8 @@ try:
 
     _BASE = gymnasium.vector.VectorEnv
 except ImportError:  # pragma: no cover
+    gymnasium = None
+    spaces = None
     _BASE = object
 
 from usv_tpu.envs import make as make_functional
@@ -31,10 +33,15 @@ from usv_tpu.vector.batch import BatchedEnv
 class UsvVectorEnv(_BASE):
     """N lockstep envs of one family behind gymnasium's VectorEnv API."""
 
-    metadata = {"render_modes": ["rgb_array"], "autoreset_mode": "NextStep"}
+    # SAME-step autoreset: the obs returned with done=True is already the
+    # next episode's reset observation; the finished episode's final obs is
+    # in infos (gymnasium's "final_obs" and SB3's "terminal_observation").
+    metadata = {"render_modes": ["rgb_array"], "autoreset_mode": "SameStep"}
 
     def __init__(self, env_id: str = "usv-simple", num_envs: int = 256,
                  frame_stack: int = 0, seed: int = 0, **config_overrides):
+        if gymnasium is None:
+            raise ImportError("UsvVectorEnv requires gymnasium")
         self.handle = make_functional(env_id, **config_overrides)
         cfg = self.handle.cfg
         self.num_envs = num_envs
@@ -76,9 +83,12 @@ class UsvVectorEnv(_BASE):
     def step(self, actions):
         actions = np.asarray(actions, dtype=np.float32)
         self._state, ts = self._benv.step(self._state, actions)
-        infos = {
-            "terminal_observation": np.asarray(ts.info["terminal_observation"]),
-        }
+        # pass every vectorized info field through; the final observation is
+        # published under both gymnasium's and SB3's conventional keys
+        infos = {k: np.asarray(v) for k, v in ts.info.items()}
+        infos["final_obs"] = infos.get(
+            "terminal_observation", self._obs_out(ts.obs)
+        )
         return (
             self._obs_out(ts.obs),
             np.asarray(ts.reward),

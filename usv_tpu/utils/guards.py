@@ -39,7 +39,10 @@ def checked_step(step_fn):
 
 
 def is_state_finite(state) -> jnp.ndarray:
-    """Scalar (or batch) bool: every float leaf of the pytree is finite."""
+    """Scalar bool: every float leaf of the pytree is finite.
+
+    Reduces over ALL axes — on a single-env state this is the per-env
+    verdict; on a batched state it is a whole-batch verdict."""
     flags = []
     for leaf in jax.tree.leaves(state):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
@@ -50,7 +53,12 @@ def is_state_finite(state) -> jnp.ndarray:
 
 def make_sanitized_step(step_fn, cfg):
     """Production guard: if a step produces non-finite state, mark the env
-    terminated (so autoreset replaces it) and zero the poisoned leaves."""
+    terminated (so autoreset replaces it) and zero the poisoned leaves.
+
+    Wrap the SINGLE-env step and vmap the result (``jax.vmap(
+    make_sanitized_step(step, cfg))``) — wrapping an already-batched step
+    would reduce finiteness over the whole batch and terminate/zero every
+    env when any one diverges."""
 
     def inner(state, action):
         new_state, ts = step_fn(cfg, state, action)

@@ -16,8 +16,12 @@ import numpy as np
 
 
 def video_trigger(step: int) -> bool:
-    """Cubic schedule then every 200k steps (reference sb3_train_vec.py:47-52)."""
-    step //= 200
+    """Cubic schedule then every 200k steps (reference sb3_train_vec.py:47-52).
+
+    Float division like the reference: only exact multiples of 200 whose
+    quotient is a perfect cube trigger (integer floor division would fire
+    for a whole 200-step bucket around each cube)."""
+    step = step / 200
     if step < 1000:
         return round(step ** (1.0 / 3)) ** 3 == step
     return step % 1000 == 0
@@ -87,8 +91,8 @@ def record_rollout_video(
 
     @jax.jit
     def run(key):
-        state = handle.reset(cfg, key)
-        frames0 = init_frames(handle.reset_obs(cfg, state), frame_stack)
+        state0 = handle.reset(cfg, key)
+        frames0 = init_frames(handle.reset_obs(cfg, state0), frame_stack)
 
         def body(carry, _):
             state, frames = carry
@@ -97,11 +101,11 @@ def record_rollout_video(
             return (state, push_frames(frames, ts.obs, ts.done)), (state, ts.done, ts.reward)
 
         _, (states, done, reward) = jax.lax.scan(
-            body, (state, frames0), None, length=n_steps
+            body, (state0, frames0), None, length=n_steps
         )
-        return states, done, reward
+        return state0, states, done, reward
 
-    states, done, reward = jax.device_get(run(jax.random.key(seed)))
+    state0, states, done, reward = jax.device_get(run(jax.random.key(seed)))
 
     done = np.asarray(done, bool)
     # the state at the done index is already auto-reset (next episode's
@@ -125,12 +129,19 @@ def record_rollout_video(
             renderer = CaEnvRenderer()
         elif handle.env_id == "usv-curved-aitsmc":
             renderer = CurvedEnvRenderer()
+        elif handle.env_id in ("usv-asmc-v0", "usv-pid-v0", "usv-asmc-ye-int-v0"):
+            from usv_tpu.utils.viz import LegacyEnvRenderer
+
+            renderer = LegacyEnvRenderer()
         else:
             renderer = SimpleEnvRenderer()
     rec = VideoRecorder(path, fps=fps)
     try:
-        for t in range(frame_end):
-            state_t = jax.tree.map(lambda x: x[t], states)
+        # the episode's first frame is the RESET state (the scan trace only
+        # holds post-step states)
+        for state_t in [state0] + [
+            jax.tree.map(lambda x, t=t: x[t], states) for t in range(frame_end)
+        ]:
             frame = renderer.render_state(handle.cfg, state_t)
             if frame is not None:
                 rec.capture(frame)

@@ -210,6 +210,51 @@ class CaEnvRenderer:
         self._win.close()
 
 
+class LegacyEnvRenderer:
+    """Renderer for the legacy trio (usv-asmc-v0/usv-pid-v0/usv-asmc-ye-int):
+    straight path through (x0, y0) at angle ak, boat polygon, lookahead
+    target — capability match for the old-gym envs' ``render``
+    (usv_asmc_env.py:303)."""
+
+    def __init__(self, render_mode: Optional[str] = "rgb_array", window_size: int = 512):
+        self._win = _PygameWindow(render_mode, window_size, fps=30)
+
+    def render_state(self, cfg, state):
+        window = self._win.window_size
+        pose = np.asarray(state.dyn.pose)
+        target = np.asarray(state.target)  # [x0, y0, speed, ak, xd, yd]
+        x0, y0, _, ak, xd, yd = target[:6]
+        x, y, psi = pose
+
+        pts = np.array([[x, y], [x0, y0], [xd, yd]])
+        lo = pts.min(axis=0) - 5.0
+        hi = pts.max(axis=0) + 5.0
+        scale = window / float(max(hi[0] - lo[0], hi[1] - lo[1]))
+
+        def to_screen(p):
+            return (float((p[0] - lo[0]) * scale), float((p[1] - lo[1]) * scale))
+
+        L = float(np.hypot(hi[0] - lo[0], hi[1] - lo[1]))
+        p_a = (x0 - L * np.cos(ak), y0 - L * np.sin(ak))
+        p_b = (x0 + L * np.cos(ak), y0 + L * np.sin(ak))
+
+        def draw(pygame, canvas):
+            pygame.draw.line(canvas, (120, 120, 120), to_screen(p_a), to_screen(p_b), 2)
+            pygame.draw.circle(canvas, (0, 0, 255), to_screen((xd, yd)), 6)
+            bl, bw = 0.9, 0.5
+            tri = []
+            for dx, dy in ((bl, 0), (-bl / 2, bw), (-bl / 2, -bw)):
+                px = x + dx * np.cos(psi) - dy * np.sin(psi)
+                py = y + dx * np.sin(psi) + dy * np.cos(psi)
+                tri.append(to_screen((px, py)))
+            pygame.draw.polygon(canvas, (0, 0, 0), tri)
+
+        return self._win.frame(draw)
+
+    def close(self):
+        self._win.close()
+
+
 class CurvedEnvRenderer:
     """Renderer for the curved/waypoint-path env (``usv-curved-aitsmc``).
 
