@@ -191,6 +191,16 @@ class PpoActorCritic(nn.Module):
         value = nn.Dense(1, name="vf_out")(vf_trunk).squeeze(-1)
         return mean, log_std, value, pi_trunk
 
+    @nn.compact
+    def value_only(self, obs):
+        """Value head alone (same vf_trunk/vf_out params as __call__) — for
+        truncation bootstraps, where the pi-side forward would be wasted."""
+        vf_trunk = MLP(
+            self.vf_hidden, activate_final=True,
+            compute_dtype=self.compute_dtype, name="vf_trunk",
+        )(obs)
+        return nn.Dense(1, name="vf_out")(vf_trunk).squeeze(-1)
+
     def sample(self, params, obs, key):
         mean, log_std, value, _ = self.apply(params, obs)
         std = jnp.exp(log_std)

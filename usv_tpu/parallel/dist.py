@@ -32,7 +32,14 @@ def initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError:
+        if kwargs:
+            raise  # explicit arguments that don't form a valid cluster
+        # bare call outside any cluster (nothing auto-detectable): the
+        # documented single-process no-op
+        return
 
 
 def fold_host_key(key, process_index: Optional[int] = None):

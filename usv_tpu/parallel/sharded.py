@@ -29,12 +29,19 @@ def jnp_ndim(x):
 
 
 def shard_sac_train_state(ts, mesh: Mesh, axis_name: str = "env"):
+    from usv_tpu.parallel.mesh import replicate
+
     repl = NamedSharding(mesh, P())
 
     def put_repl(tree):
-        return jax.device_put(tree, jax.tree.map(lambda _: repl, tree))
+        return replicate(tree, mesh)
 
+    sde = ts.sde
+    if sde is not None:
+        # per-env exploration matrices ride the batch axis like the envs
+        sde = _put_batch_axis0(sde, mesh, axis_name)
     return ts.replace(
+        sde=sde,
         actor_params=put_repl(ts.actor_params),
         critic_params=put_repl(ts.critic_params),
         target_critic_params=put_repl(ts.target_critic_params),
@@ -52,12 +59,18 @@ def shard_sac_train_state(ts, mesh: Mesh, axis_name: str = "env"):
 
 
 def shard_ppo_train_state(ts, mesh: Mesh, axis_name: str = "env"):
+    from usv_tpu.parallel.mesh import replicate
+
     repl = NamedSharding(mesh, P())
 
     def put_repl(tree):
-        return jax.device_put(tree, jax.tree.map(lambda _: repl, tree))
+        return replicate(tree, mesh)
 
+    sde = ts.sde
+    if sde is not None:
+        sde = _put_batch_axis0(sde, mesh, axis_name)
     return ts.replace(
+        sde=sde,
         params=put_repl(ts.params),
         opt_state=put_repl(ts.opt_state),
         env_state=_put_batch_axis0(ts.env_state, mesh, axis_name),

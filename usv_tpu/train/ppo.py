@@ -149,8 +149,9 @@ class PpoLearner:
                  step_ts.info["terminal_observation"][:, None, :]],
                 axis=1,
             )
-            _, _, terminal_value, _ = self.model.apply(
-                ts.params, terminal_frames.reshape(cfg.num_envs, -1)
+            terminal_value = self.model.apply(
+                ts.params, terminal_frames.reshape(cfg.num_envs, -1),
+                method=self.model.value_only,
             )
             truncated_only = (
                 step_ts.truncated & ~step_ts.terminated
@@ -158,7 +159,8 @@ class PpoLearner:
             reward = step_ts.reward + cfg.gamma * terminal_value * truncated_only
             out = dict(
                 obs=obs, action=action, logp=logp, value=value,
-                reward=reward,
+                reward=reward,                  # bootstrap-augmented (GAE)
+                raw_reward=step_ts.reward,      # env reward (metrics)
                 done=step_ts.done.astype(jnp.float32),
             )
             return (env_state, new_frames, sde), out
@@ -255,7 +257,7 @@ class PpoLearner:
             epoch, (ts.params, ts.opt_state),
             jax.random.split(k_perm, cfg.n_epochs),
         )
-        mean_reward = jnp.mean(traj["reward"])
+        mean_reward = jnp.mean(traj["raw_reward"])
         ts = ts.replace(
             params=params, opt_state=opt_state,
             update_count=ts.update_count + 1,

@@ -59,6 +59,9 @@ class SacConfig:
     # gSDE exploration (config.py:18-19; SB3 use_sde + sde_sample_freq).
     # Updates always use the exact marginal distribution; this flag makes
     # collection noise temporally smooth via exploration matrices.
+    # NOTE: the reference config sets use_sde=True; it defaults False here
+    # (plain per-step Gaussian collection) — set True / pass --sde for
+    # exact reference-equivalent exploration.
     use_sde: bool = False
     sde_sample_freq: int = 4
     # vector-env setup
@@ -142,6 +145,16 @@ class SacLearner:
         # never wrap mid-batch — keeps buffer_add_batch on its
         # dynamic_update_slice fast path (a batched scatter serializes under
         # the population vmap).
+        self._fusion = (
+            config.gradient_steps if config.fused_updates
+            else max(1, config.update_fusion)
+        )
+        if config.gradient_steps % self._fusion:
+            raise ValueError(
+                f"update_fusion={self._fusion} must divide "
+                f"gradient_steps={config.gradient_steps}"
+            )
+
         block = config.train_freq * config.num_envs
         self.buffer_capacity = -(-config.buffer_size // block) * block
         if self.buffer_capacity != config.buffer_size:
@@ -239,10 +252,15 @@ class SacLearner:
         """
         cfg = self.cfg
 
+        # static threshold in SCAN-STEP units: env_steps * num_envs would
+        # overflow int32 past 2^31 total env steps and silently re-enter the
+        # uniform-random collection phase
+        warmup_scan_steps = -(-cfg.learning_starts // cfg.num_envs)
+
         def one_step(carry, step_key):
             env_state, frames, env_steps, sde = carry
             obs = frames.reshape(frames.shape[0], -1)
-            random_phase = env_steps * cfg.num_envs < cfg.learning_starts
+            random_phase = env_steps < warmup_scan_steps
             k_resample, k_action = jax.random.split(step_key)
             if cfg.use_sde:
                 from usv_tpu.models.sde import maybe_resample
@@ -398,15 +416,7 @@ class SacLearner:
                 cfg.learning_starts, cfg.buffer_size
             )
 
-            fusion = (
-                cfg.gradient_steps if cfg.fused_updates
-                else max(1, cfg.update_fusion)
-            )
-            if cfg.gradient_steps % fusion:
-                raise ValueError(
-                    f"update_fusion={fusion} must divide "
-                    f"gradient_steps={cfg.gradient_steps}"
-                )
+            fusion = self._fusion
             n_updates = cfg.gradient_steps // fusion
 
             def do_updates(ts):
