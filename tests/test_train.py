@@ -166,6 +166,26 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_watch_diagnostics():
+    """learner.watch(): the wandb.watch analog — finite grad/param norms."""
+    h = make("usv-simple")
+    learner = SacLearner(h, SMALL_SAC)
+    ts = learner.init(seed=3)
+    ts, _ = learner.train_rounds(ts, 10)  # fill past warmup
+    d = learner.watch(ts)
+    for k in ("actor_param_norm", "critic_param_norm", "actor_grad_norm",
+              "critic_grad_norm", "critic_loss", "policy_entropy", "alpha"):
+        assert np.isfinite(d[k]), k
+    assert d["actor_param_norm"] > 0 and d["critic_grad_norm"] > 0
+    assert d["alpha"] > 0
+
+    ppo = PpoLearner(h, SMALL_PPO)
+    pts = ppo.init(seed=3)
+    pd = ppo.watch(pts)
+    assert np.isfinite(pd["param_norm"]) and pd["param_norm"] > 0
+    assert "log_std_mean" in pd and np.isfinite(pd["log_std_mean"])
+
+
 def test_sac_seed_parallel_population():
     """init_many/train_rounds_many: S independent learners in one program."""
     cfg = dataclasses.replace(SMALL_SAC, learning_starts=64)

@@ -268,6 +268,33 @@ class PpoLearner:
         """One {rollout, GAE, epochs x minibatches} cycle as one device call."""
         return self._jit_iter(ts)
 
+    # ---------------------------------------------------------- diagnostics
+
+    def watch(self, ts: PpoTrainState) -> dict:
+        """Parameter diagnostics — the analog of the reference's
+        ``wandb.watch`` parameter logging (wandb_callback.py:126-131): global
+        L2 norm of the actor-critic parameters and the exploration log-std.
+        (PPO keeps no replay data between iterations, so gradient norms would
+        require a fresh rollout; parameters are the persistent state worth
+        watching.) Separate jitted program; zero hot-path cost."""
+        if not hasattr(self, "_jit_watch"):
+
+            def impl(params):
+                out = {"param_norm": optax.global_norm(params)}
+                leaves = jax.tree_util.tree_leaves_with_path(params)
+                log_stds = [
+                    leaf for path, leaf in leaves
+                    if "log_std" in jax.tree_util.keystr(path)
+                ]
+                if log_stds:
+                    out["log_std_mean"] = jnp.mean(
+                        jnp.concatenate([x.ravel() for x in log_stds])
+                    )
+                return out
+
+            self._jit_watch = jax.jit(impl)
+        return {k: float(v) for k, v in self._jit_watch(ts.params).items()}
+
     # ------------------------------------------------- seed-parallel (vmap)
 
     def init_many(self, seeds) -> PpoTrainState:

@@ -27,6 +27,9 @@ def main(argv=None):
                    help="bf16 MLP compute on the MXU (params stay f32)")
     p.add_argument("--video-every-iters", type=int, default=0,
                    help="record a policy episode video every N iterations")
+    p.add_argument("--watch-every-iters", type=int, default=20,
+                   help="log parameter-norm diagnostics every N iterations "
+                        "(the reference's wandb.watch analog); 0 disables")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -61,6 +64,8 @@ def main(argv=None):
             mean_reward=float(mean_reward),
             steps_per_second=sps,
         )
+        if args.watch_every_iters and it % args.watch_every_iters == 0:
+            metrics.update(learner.watch(ts))
         if args.video_every_iters and it % args.video_every_iters == 0:
             from usv_tpu.utils.video import record_rollout_video
 

@@ -120,6 +120,8 @@ def main(argv=None):
         )
         if args.eval_every_blocks and block % args.eval_every_blocks == 0:
             metrics["eval_reward_per_step"] = learner.eval_policy(ts)
+            if int(ts.buffer.size) > 0:  # wandb.watch analog (needs data)
+                metrics.update(learner.watch(ts))
         if args.video_every_blocks and block % args.video_every_blocks == 0:
             from usv_tpu.utils.video import record_rollout_video
 

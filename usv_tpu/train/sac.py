@@ -176,6 +176,7 @@ class SacLearner:
         self._jit_init = jax.jit(self._init_impl)
         self._jit_rounds = {}
         self._jit_eval = {}
+        self._jit_watch = None
 
     # ------------------------------------------------------------------ init
 
@@ -495,6 +496,49 @@ class SacLearner:
         import numpy as np
 
         return np.asarray(self._jit_eval[key](ts.actor_params, keys))
+
+    # ---------------------------------------------------------- diagnostics
+
+    def watch(self, ts: SacTrainState) -> dict:
+        """Gradient/parameter diagnostics — the analog of the reference's
+        ``wandb.watch`` gradient+parameter logging (wandb_callback.py:126-131).
+
+        Computes global L2 norms of the actor/critic parameters and of their
+        gradients on one diagnostic replay batch, plus the current loss
+        terms, entropy temperature, and sampled-policy entropy. Runs as a
+        separate jitted program so the training hot path pays nothing; call
+        it at logging cadence (the train CLIs do, on eval blocks). Only
+        meaningful once the buffer holds data (after warmup).
+        """
+        if self._jit_watch is None:
+
+            def impl(ts: SacTrainState):
+                key = jax.random.fold_in(ts.key, 13)
+                k_batch, k_critic, k_actor = jax.random.split(key, 3)
+                batch = buffer_sample(ts.buffer, k_batch, self.cfg.batch_size)
+                critic_loss, critic_grads = jax.value_and_grad(
+                    self._critic_loss
+                )(ts.critic_params, ts, batch, k_critic)
+                (actor_loss, aux), actor_grads = jax.value_and_grad(
+                    self._actor_loss, has_aux=True
+                )(ts.actor_params, ts, batch, k_actor)
+                mean_logp, sac_loss, caps_t, caps_s = aux
+                return dict(
+                    actor_param_norm=optax.global_norm(ts.actor_params),
+                    critic_param_norm=optax.global_norm(ts.critic_params),
+                    actor_grad_norm=optax.global_norm(actor_grads),
+                    critic_grad_norm=optax.global_norm(critic_grads),
+                    critic_loss=critic_loss,
+                    actor_loss=actor_loss,
+                    sac_actor_loss=sac_loss,
+                    caps_temporal=caps_t,
+                    caps_spatial=caps_s,
+                    policy_entropy=-mean_logp,
+                    alpha=jnp.exp(ts.log_alpha),
+                )
+
+            self._jit_watch = jax.jit(impl)
+        return {k: float(v) for k, v in self._jit_watch(ts).items()}
 
     # ----------------------------------------------------------- evaluation
 
