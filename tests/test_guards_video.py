@@ -41,6 +41,60 @@ def test_sanitized_step_recovers():
     assert np.all(np.isfinite(np.asarray(ts.obs)))
 
 
+def test_sanitized_autoreset_recovers_ca_env():
+    """A diverged CA env terminates, resets fresh, and flags info['diverged'].
+
+    The real failure mode this guards (observed at 512 envs, ~750
+    random-action steps): ASMC adaptive-gain windup destabilizes the
+    hydrodynamics, float32 overflows to inf/NaN inside one substep block,
+    and an unguarded autoreset can never fire again (NaN comparisons are
+    False) — one env poisons the whole batch/replay buffer."""
+    from usv_tpu.envs.autoreset import make_autoreset_step
+    from usv_tpu.utils.guards import make_sanitized_step
+
+    h = make("usv-asmc-ca-v0")
+    cfg = h.cfg
+    san = make_sanitized_step(h.step, cfg)
+    auto = make_autoreset_step(
+        cfg, lambda c, s, a: san(s, a), h.reset, h.reset_obs
+    )
+    state = h.reset(cfg, jax.random.key(3))
+    state = state.replace(
+        dyn=state.dyn.replace(vel=state.dyn.vel.at[2].set(jnp.inf))
+    )
+    new_state, ts = jax.jit(auto)(state, jnp.asarray([0.5, 0.0]))
+    assert bool(ts.info["diverged"])
+    assert bool(ts.terminated)
+    assert bool(is_state_finite(new_state))
+    assert np.all(np.isfinite(np.asarray(ts.obs)))
+    # the replacement state is a fresh episode, not the zeroed wreck
+    assert int(new_state.step_count) == 0
+
+
+def test_sac_learner_survives_diverged_env():
+    """sanitize_envs (default on): a poisoned env in the batch cannot poison
+    the learner — one round later everything is finite again."""
+    from usv_tpu.train.sac import SacConfig, SacLearner
+
+    h = make("usv-asmc-ca-v0")
+    cfg = SacConfig(
+        buffer_size=1024, batch_size=32, learning_starts=32, num_envs=8,
+        train_freq=4, gradient_steps=2, hidden=(32, 32), frame_stack=2,
+    )
+    learner = SacLearner(h, cfg)
+    ts = learner.init(seed=0)
+    poisoned = ts.env_state.dyn.vel.at[3, 2].set(jnp.nan)
+    ts = ts.replace(env_state=ts.env_state.replace(
+        dyn=ts.env_state.dyn.replace(vel=poisoned)
+    ))
+    ts, reward = learner.train_rounds(ts, 4)
+    assert np.isfinite(float(reward))
+    assert bool(is_state_finite(ts.env_state))
+    assert np.all(np.isfinite(np.asarray(ts.frames)))
+    for leaf in jax.tree.leaves(ts.actor_params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_video_recording(tmp_path):
     os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
     from usv_tpu.compat import UsvSimpleEnv

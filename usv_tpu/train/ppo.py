@@ -49,6 +49,10 @@ class PpoConfig:
     frame_stack: int = 5
     # bf16 MLP matmuls on the MXU (params/optimizer stay f32)
     compute_dtype: str = "float32"
+    # Numerical guard (utils/guards.py; see SacConfig.sanitize_envs): diverged
+    # envs terminate with reward 0 and auto-reset instead of poisoning the
+    # on-policy batch with NaN. Default ON.
+    sanitize_envs: bool = True
 
 
 @struct.dataclass
@@ -81,8 +85,17 @@ class PpoLearner:
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(config.learning_rate),
         )
+        step_fn = handle.step
+        if config.sanitize_envs:
+            from usv_tpu.utils.guards import make_sanitized_step
+
+            _san = make_sanitized_step(handle.step, env_cfg)
+
+            def step_fn(cfg_, state, action):
+                return _san(state, action)
+
         self._auto_step = jax.vmap(
-            make_autoreset_step(env_cfg, handle.step, handle.reset, handle.reset_obs)
+            make_autoreset_step(env_cfg, step_fn, handle.reset, handle.reset_obs)
         )
         self._jit_init = jax.jit(self._init_impl)
         self._jit_iter = jax.jit(self._iteration_impl, donate_argnums=(0,))

@@ -82,6 +82,14 @@ class SacConfig:
     # action bounds; None derives them from the env config
     action_low: Optional[Tuple[float, ...]] = None
     action_high: Optional[Tuple[float, ...]] = None
+    # Numerical guard (utils/guards.py): the hydrodynamic env families can
+    # diverge in long episodes (ASMC adaptive-gain windup under random/bad
+    # actions -> float32 overflow within one substep block; observed on
+    # usv-asmc-ca-v0 after ~750 random-action steps). Without the guard one
+    # NaN env poisons the replay buffer and the whole run. Default ON:
+    # diverged envs terminate (reward 0, sanitized obs) and auto-reset;
+    # info["diverged"] counts occurrences.
+    sanitize_envs: bool = True
 
 
 @struct.dataclass
@@ -168,9 +176,18 @@ class SacLearner:
                 "save/resume, or set buffer_size to a multiple yourself."
             )
 
+        step_fn = handle.step
+        if config.sanitize_envs:
+            from usv_tpu.utils.guards import make_sanitized_step
+
+            _san = make_sanitized_step(handle.step, env_cfg)
+
+            def step_fn(cfg_, state, action):
+                return _san(state, action)
+
         self._auto_step = jax.vmap(
             make_autoreset_step(
-                env_cfg, handle.step, handle.reset, handle.reset_obs
+                env_cfg, step_fn, handle.reset, handle.reset_obs
             )
         )
         self._jit_init = jax.jit(self._init_impl)

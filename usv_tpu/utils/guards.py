@@ -70,10 +70,13 @@ def make_sanitized_step(step_fn, cfg):
             return leaf
 
         new_state = jax.tree.map(clean, new_state)
+        info = dict(ts.info)
+        info["diverged"] = ~ok  # observable in eval/info-flag summaries
         ts = ts.replace(
             terminated=ts.terminated | ~ok,
             reward=jnp.where(ok, ts.reward, 0.0),
             obs=jnp.where(jnp.isfinite(ts.obs), ts.obs, 0.0),
+            info=info,
         )
         return new_state, ts
 

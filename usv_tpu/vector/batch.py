@@ -47,14 +47,26 @@ class BatchedEnv:
     >>> state, ts = benv.step(state, actions)   # actions: (4096, 2)
     """
 
-    def __init__(self, handle: EnvHandle, num_envs: int, frame_stack: int = 0):
+    def __init__(self, handle: EnvHandle, num_envs: int, frame_stack: int = 0,
+                 sanitize: bool = False):
         self.handle = handle
         self.cfg = handle.cfg
         self.num_envs = num_envs
         self.frame_stack = frame_stack
 
+        step_fn = handle.step
+        if sanitize:
+            # numerical guard for the hydrodynamic families (see
+            # utils/guards.py) — diverged envs terminate and auto-reset
+            from usv_tpu.utils.guards import make_sanitized_step
+
+            _san = make_sanitized_step(handle.step, self.cfg)
+
+            def step_fn(cfg_, state, action):
+                return _san(state, action)
+
         auto = make_autoreset_step(
-            self.cfg, handle.step, handle.reset, handle.reset_obs
+            self.cfg, step_fn, handle.reset, handle.reset_obs
         )
         self._vstep = jax.vmap(auto)
         self._vreset = jax.vmap(partial(handle.reset, self.cfg))
