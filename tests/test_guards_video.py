@@ -41,6 +41,29 @@ def test_sanitized_step_recovers():
     assert np.all(np.isfinite(np.asarray(ts.obs)))
 
 
+def test_sanitized_step_catches_finite_explosion():
+    """Exploded-but-finite states must be flagged BEFORE they overflow: the
+    divergence step computes its reward from huge finite values (observed
+    ~1e26 rewards on the CA env via the +0.5*||v|| term), which poisons a
+    critic with no NaN in sight. The guard bounds magnitude, not just
+    finiteness. (Needs a hydrodynamic env — velocity is dynamical state
+    there; the kinematic simple env overwrites velocity from the action.)"""
+    h = make("usv-asmc-ca-v0")
+    cfg = h.cfg
+    state = h.reset(cfg, jax.random.key(4))
+    state = state.replace(
+        dyn=state.dyn.replace(vel=state.dyn.vel.at[0].set(1e9))
+    )
+    sanitized = make_sanitized_step(h.step, cfg)
+    new_state, ts = sanitized(state, jnp.asarray([0.5, 0.0]))
+    assert bool(ts.info["diverged"])
+    assert bool(ts.terminated)
+    assert float(ts.reward) == 0.0
+    for leaf in jax.tree.leaves(new_state):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert bool(jnp.all(jnp.abs(leaf) < 1e4))
+
+
 def test_sanitized_autoreset_recovers_ca_env():
     """A diverged CA env terminates, resets fresh, and flags info['diverged'].
 

@@ -39,13 +39,16 @@ class UsvVectorEnv(_BASE):
     metadata = {"render_modes": ["rgb_array"], "autoreset_mode": "SameStep"}
 
     def __init__(self, env_id: str = "usv-simple", num_envs: int = 256,
-                 frame_stack: int = 0, seed: int = 0, **config_overrides):
+                 frame_stack: int = 0, seed: int = 0, sanitize: bool = False,
+                 **config_overrides):
         if gymnasium is None:
             raise ImportError("UsvVectorEnv requires gymnasium")
         self.handle = make_functional(env_id, **config_overrides)
         cfg = self.handle.cfg
         self.num_envs = num_envs
-        self._benv = BatchedEnv(self.handle, num_envs, frame_stack=frame_stack)
+        self._benv = BatchedEnv(
+            self.handle, num_envs, frame_stack=frame_stack, sanitize=sanitize
+        )
         self._state = None
         self._seed_counter = seed
 

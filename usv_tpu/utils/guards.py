@@ -51,22 +51,43 @@ def is_state_finite(state) -> jnp.ndarray:
     return jnp.stack(flags).all(axis=0)
 
 
-def make_sanitized_step(step_fn, cfg):
-    """Production guard: if a step produces non-finite state, mark the env
-    terminated (so autoreset replaces it) and zero the poisoned leaves.
+def is_state_sane(state, bound: float = 1e4) -> jnp.ndarray:
+    """Scalar bool: every float leaf is finite AND |value| < bound.
+
+    Finiteness alone is not enough to catch a hydrodynamic blow-up: the
+    divergence is explosive (repeated squaring in the damping terms), so the
+    step that crosses from sane values to float32 overflow computes its
+    reward from an exploded-but-still-finite state — e.g. the CA env's
+    +0.5*||v|| term produced single rewards of ~1e26, which wrecks a critic
+    even though nothing is NaN yet. Legitimate magnitudes in every env
+    family are <= a few hundred (positions <~200, velocities <~15, adaptive
+    gains / integrators <~100, unwrapped headings <~1.5e3), so the default
+    bound of 1e4 has wide margin on both sides."""
+    flags = []
+    for leaf in jax.tree.leaves(state):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            axes = tuple(range(leaf.ndim))
+            flags.append(jnp.all(jnp.abs(leaf) < bound, axis=axes))
+    return jnp.stack(flags).all(axis=0)
+
+
+def make_sanitized_step(step_fn, cfg, bound: float = 1e4):
+    """Production guard: if a step produces a non-finite or absurdly large
+    state (see :func:`is_state_sane`), mark the env terminated (so autoreset
+    replaces it), zero that step's reward, and zero the poisoned leaves.
 
     Wrap the SINGLE-env step and vmap the result (``jax.vmap(
     make_sanitized_step(step, cfg))``) — wrapping an already-batched step
-    would reduce finiteness over the whole batch and terminate/zero every
+    would reduce the verdict over the whole batch and terminate/zero every
     env when any one diverges."""
 
     def inner(state, action):
         new_state, ts = step_fn(cfg, state, action)
-        ok = is_state_finite(new_state)
+        ok = is_state_sane(new_state, bound)
 
         def clean(leaf):
             if jnp.issubdtype(leaf.dtype, jnp.floating):
-                return jnp.where(jnp.isfinite(leaf), leaf, 0.0)
+                return jnp.where(jnp.abs(leaf) < bound, leaf, 0.0)
             return leaf
 
         new_state = jax.tree.map(clean, new_state)
@@ -74,8 +95,8 @@ def make_sanitized_step(step_fn, cfg):
         info["diverged"] = ~ok  # observable in eval/info-flag summaries
         ts = ts.replace(
             terminated=ts.terminated | ~ok,
-            reward=jnp.where(ok, ts.reward, 0.0),
-            obs=jnp.where(jnp.isfinite(ts.obs), ts.obs, 0.0),
+            reward=jnp.where(ok & (jnp.abs(ts.reward) < bound), ts.reward, 0.0),
+            obs=jnp.where(jnp.abs(ts.obs) < bound, ts.obs, 0.0),
             info=info,
         )
         return new_state, ts
