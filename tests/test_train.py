@@ -166,6 +166,20 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_sac_lr_decay_schedule():
+    """lr_decay_steps: linear decay over gradient steps, finite training."""
+    cfg = dataclasses.replace(SMALL_SAC, lr_decay_steps=20,
+                              lr_final_fraction=0.1)
+    h = make("usv-simple")
+    learner = SacLearner(h, cfg)
+    ts = learner.init(seed=5)
+    ts, reward = learner.train_rounds(ts, 20)
+    assert np.isfinite(float(reward))
+    assert int(ts.grad_steps) > 20  # decay phase fully traversed
+    for leaf in jax.tree.leaves(ts.actor_params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_watch_diagnostics():
     """learner.watch(): the wandb.watch analog — finite grad/param norms."""
     h = make("usv-simple")

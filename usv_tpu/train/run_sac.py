@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--learning-starts", type=int, default=50_000)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="linear lr decay over this many gradient steps "
+                        "(0 = constant, the reference behavior)")
+    p.add_argument("--lr-final-frac", type=float, default=0.1)
     p.add_argument("--train-freq", type=int, default=8)
     p.add_argument("--gradient-steps", type=int, default=8)
     p.add_argument("--sde", action="store_true")
@@ -71,6 +75,8 @@ def main(argv=None):
         buffer_size=args.buffer_size,
         batch_size=args.batch_size,
         learning_rate=args.lr,
+        lr_decay_steps=args.lr_decay_steps or None,
+        lr_final_fraction=args.lr_final_frac,
         learning_starts=args.learning_starts,
         train_freq=args.train_freq,
         gradient_steps=args.gradient_steps,

@@ -45,6 +45,12 @@ class SacConfig:
     buffer_size: int = 400_000
     batch_size: int = 256
     learning_rate: float = 1e-4
+    # optional linear lr decay over the first lr_decay_steps GRADIENT steps
+    # (to lr * lr_final_fraction, held constant after). The reference uses a
+    # constant lr (config.py:23); this is a tuning lever for closing the
+    # sample-efficiency gap of fused/at-scale configs.
+    lr_decay_steps: Optional[int] = None
+    lr_final_fraction: float = 0.1
     gamma: float = 0.99
     tau: float = 0.005          # SB3 default (config passes none)
     train_freq: int = 8
@@ -144,9 +150,17 @@ class SacLearner:
         )
         self.target_entropy = -float(self.act_dim)  # SB3 'auto'
 
-        self.actor_tx = optax.adam(config.learning_rate)
-        self.critic_tx = optax.adam(config.learning_rate)
-        self.alpha_tx = optax.adam(config.learning_rate)
+        if config.lr_decay_steps:
+            lr = optax.linear_schedule(
+                config.learning_rate,
+                config.learning_rate * config.lr_final_fraction,
+                config.lr_decay_steps,
+            )
+        else:
+            lr = config.learning_rate
+        self.actor_tx = optax.adam(lr)
+        self.critic_tx = optax.adam(lr)
+        self.alpha_tx = optax.adam(lr)
 
         # Round the replay capacity up to a multiple of the per-round write
         # block (train_freq * num_envs rows) so inserts stay aligned and
