@@ -32,7 +32,7 @@ ENV_TILE = 128  # envs per program (lane width)
 
 def _batched_kernel(
     pose_ref,      # (4, T): x, y, psi, pad
-    ox_ref, oy_ref, or_ref, mask_ref, bnd_ref,  # (K, T)
+    ox_ref, oy_ref, or_ref, aux_ref,  # (K, T); aux = masked key | mask
     out_ref,       # (R, T)
     *, sensor_count, max_range, resolution, first_hit, n_obs,
 ):
@@ -57,29 +57,33 @@ def _batched_kernel(
         nx = ox_ref[pl.ds(k, 1), :] - x          # (1, T)
         ny = oy_ref[pl.ds(k, 1), :] - y
         r = or_ref[pl.ds(k, 1), :]
-        m = mask_ref[pl.ds(k, 1), :]
         xk = c * nx + s * ny                     # (R, T)
         yk = s * nx - c * ny
         delta = r * r - yk * yk
         dist = xk - jnp.sqrt(jnp.maximum(delta, 0.0))
-        valid = (xk >= 0.0) & (delta >= 0.0) & (m > 0.5)
         if first_hit:
-            valid = valid & (dist < max_range)
-            key_k = jnp.broadcast_to(
-                bnd_ref[pl.ds(k, 1), :], (sensor_count, ENV_TILE)
+            # aux is the ordering key with +inf in masked-out slots (folded
+            # on the XLA side), so invalid obstacles can never win the
+            # strict < below and no separate mask test is needed. Processing
+            # slots in ascending order with a strict < keeps the first
+            # occurrence on exact key ties (the reference's argsort is
+            # unstable, so any tie order is equally faithful).
+            key_k = aux_ref[pl.ds(k, 1), :]      # (1, T)
+            better = (
+                (xk >= 0.0) & (delta >= 0.0) & (dist < max_range)
+                & (key_k < best_key)
             )
-            better = valid & (key_k < best_key)
-            tie = valid & (key_k == best_key)
-            best_dist = jnp.where(
-                better, dist,
-                jnp.where(tie, jnp.minimum(dist, best_dist), best_dist),
-            )
+            best_dist = jnp.where(better, dist, best_dist)
             best_key = jnp.where(better, key_k, best_key)
         else:
+            m = aux_ref[pl.ds(k, 1), :]
+            valid = (xk >= 0.0) & (delta >= 0.0) & (m > 0.5)
             best_dist = jnp.minimum(best_dist, jnp.where(valid, dist, max_range))
         return best_key, best_dist
 
-    best_key, best_dist = jax.lax.fori_loop(0, n_obs, body, init)
+    # Mosaic supports only full unroll; K<=64 keeps the unrolled body small
+    # and lets the scheduler overlap the independent per-obstacle geometry.
+    best_key, best_dist = jax.lax.fori_loop(0, n_obs, body, init, unroll=n_obs)
     if first_hit:
         out_ref[:, :] = jnp.where(jnp.isfinite(best_key), best_dist, max_range)
     else:
@@ -122,8 +126,13 @@ def raycast_pallas_batched(
     ox_t = obs_xy[..., 0].T.astype(jnp.float32)       # (K, Bp)
     oy_t = obs_xy[..., 1].T.astype(jnp.float32)
     or_t = obs_r.T.astype(jnp.float32)
-    mask_t = obs_mask.T.astype(jnp.float32)
-    bnd_t = boundary_distance.T.astype(jnp.float32)
+    if first_hit:
+        # fold the validity mask into the ordering key (inf never wins)
+        aux_t = jnp.where(
+            obs_mask, boundary_distance.astype(jnp.float32), jnp.inf
+        ).T
+    else:
+        aux_t = obs_mask.T.astype(jnp.float32)
 
     kernel = functools.partial(
         _batched_kernel,
@@ -144,10 +153,10 @@ def raycast_pallas_batched(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((sensor_count, Bp), jnp.float32),
-        in_specs=[col_spec(4)] + [col_spec(K)] * 5,
+        in_specs=[col_spec(4)] + [col_spec(K)] * 4,
         out_specs=col_spec(sensor_count),
         interpret=interpret,
-    )(pose_t, ox_t, oy_t, or_t, mask_t, bnd_t)
+    )(pose_t, ox_t, oy_t, or_t, aux_t)
     return out.T[:B]
 
 
