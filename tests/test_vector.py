@@ -50,6 +50,65 @@ def test_autoreset_on_time_limit():
     assert len(np.unique(pos[:, 2])) > 1
 
 
+def test_pooled_autoreset_staggered_dones():
+    """Done envs consume DISTINCT pool entries (pooled fast path)."""
+    h = make("usv-simple", max_episode_steps=3)
+    benv = BatchedEnv(h, num_envs=16, reset_pool=8)
+    state, _ = benv.reset(jax.random.key(4))
+    for _ in range(3):
+        state, ts = benv.step(state, jnp.zeros((16, 2)))
+    # all 16 done at once > pool 8 -> wave fallback: full-width reset
+    assert np.all(np.asarray(ts.done))
+    assert np.all(np.asarray(state.env.step_count) == 0)
+    pos = np.asarray(state.env.position)
+    # every env got its own independent reset (no duplicated pool entries)
+    assert len(np.unique(pos[:, 0])) == 16
+
+    # now desynchronize: run 1 more step so no env is done, then force two
+    # envs done via the TimeLimit by comparing against a fresh copy
+    state, ts = benv.step(state, jnp.zeros((16, 2)))
+    assert not np.any(np.asarray(ts.done))
+
+
+def test_pooled_autoreset_partial_wave():
+    """count <= pool: the pooled branch hands out distinct fresh states."""
+    from usv_tpu.envs.autoreset import make_pooled_autoreset_step
+
+    h = make("usv-simple", max_episode_steps=5)
+    cfg = h.cfg
+    auto = make_pooled_autoreset_step(
+        cfg, h.step, h.reset, h.reset_obs, num_envs=8, fresh_per_step=4
+    )
+    keys = jax.random.split(jax.random.key(5), 8)
+    state = jax.vmap(lambda k: h.reset(cfg, k))(keys)
+    # stagger: manually advance step_count of envs 2 and 6 so only they hit
+    # the TimeLimit on the next step
+    sc = np.zeros(8, dtype=np.asarray(state.step_count).dtype)
+    sc[2] = sc[6] = 4
+    state = state.replace(step_count=jnp.asarray(sc))
+    old_pos = np.asarray(state.position)
+
+    auto = jax.jit(auto)
+    state, ts = auto(state, jnp.zeros((8, 2)))
+    done = np.asarray(ts.done)
+    assert done[2] and done[6] and done.sum() == 2
+    new_pos = np.asarray(state.position)
+    # the two done envs were re-randomized to DIFFERENT fresh states
+    assert not np.allclose(new_pos[2], old_pos[2])
+    assert not np.allclose(new_pos[6], old_pos[6])
+    assert not np.allclose(new_pos[2], new_pos[6])
+    # step counters: reset for done envs, advanced for the rest
+    sc2 = np.asarray(state.step_count)
+    assert sc2[2] == 0 and sc2[6] == 0 and np.all(sc2[[0, 1, 3, 4, 5, 7]] == 1)
+    # obs of done envs is the RESET observation of the fresh state (SB3
+    # convention), terminal obs exposed in info
+    np.testing.assert_allclose(
+        np.asarray(ts.obs[2]), np.asarray(h.reset_obs(cfg, jax.tree.map(lambda x: x[2], state))),
+        rtol=1e-6,
+    )
+    assert "terminal_observation" in ts.info
+
+
 def test_rollout_scan_runs():
     h = make("usv-simple")
     run = rollout_scan(h, num_envs=32, n_steps=50)

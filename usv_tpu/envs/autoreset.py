@@ -79,3 +79,115 @@ def make_autoreset_step(
         )
 
     return auto_step
+
+
+def default_reset_pool(num_envs: int) -> int:
+    """Default pool size: 0 — the per-env select path everywhere.
+
+    Measured verdict (v5e, 4096 usv-simple envs): the pooled variant LOSES.
+    Distributing F fresh states to arbitrary done rows needs per-leaf row
+    gathers, and cross-row data movement on TPU costs far more than just
+    recomputing the reset math elementwise in every row (per-env select
+    196 us/batched step vs pooled 411-486 us, even at F=128). Recompute
+    beats gather; the branch-free select design is the right one on this
+    hardware. The pooled path stays available as an explicit opt-in for
+    hardware/backends where gathers are cheap.
+    """
+    return 0
+
+
+def make_pooled_autoreset_step(
+    cfg,
+    step_fn: Callable,
+    reset_fn: Callable,
+    reset_obs_fn: Callable,
+    num_envs: int,
+    fresh_per_step: int,
+):
+    """Batch-level auto-reset that amortizes reset generation.
+
+    The per-env select-based :func:`make_autoreset_step` computes a full
+    domain-randomized reset — including the reset observation's sensor pass —
+    for EVERY env EVERY step and discards ~(1 - 1/episode_len) of it; at 4096
+    ``usv-simple`` envs that is ~20% of the whole step. Here only
+    ``fresh_per_step`` (F) fresh states are generated per step; the i-th done
+    env consumes pool entry ``cumsum(done)-1`` so each done env always gets
+    its own independent draw. When more than F envs finish in one step (e.g.
+    the synchronized TimeLimit wave of a batch that was reset together, every
+    ``max_episode_steps`` steps) a ``lax.cond`` falls back to the exact
+    full-width path for that step — so semantics match the per-env version
+    in distribution for ANY done pattern, at full price only on wave steps.
+
+    **Not the default — measured SLOWER on TPU** (see
+    :func:`default_reset_pool`): the per-leaf row gathers that distribute
+    pool entries to done rows cost more than the redundant reset math they
+    save. Kept as an opt-in for backends with cheap gathers.
+
+    Key hygiene matches the per-env version: every env's carried key is split
+    every step; the pool consumes the reset-children of envs ``0..F-1`` and
+    the fresh states carry their own unconsumed child keys. Distinct random
+    streams, each used once.
+
+    Returns ``fn(batched_state, batched_actions) -> (batched_state, TimeStep)``
+    operating on a leading env axis of ``num_envs`` (NOT for use under vmap).
+    """
+    fresh_per_step = int(min(max(1, fresh_per_step), num_envs))
+    vstep = jax.vmap(lambda s, a: step_fn(cfg, s, a))
+    vreset = jax.vmap(lambda k: reset_fn(cfg, k))
+    vreset_obs = jax.vmap(lambda s: reset_obs_fn(cfg, s))
+    vsplit = jax.vmap(lambda k: tuple(jax.random.split(k)))
+    F = fresh_per_step
+
+    def pooled(args):
+        stepped, obs, done, reset_keys = args
+        fresh = vreset(reset_keys[:F])
+        fresh_obs = vreset_obs(fresh)
+        idx = jnp.clip(jnp.cumsum(done) - 1, 0, F - 1)
+
+        def pick(f, o):
+            g = f[idx]  # row gather; works for typed PRNG-key leaves too
+            d = done.reshape(done.shape + (1,) * (g.ndim - 1))
+            return jnp.where(d, g, o)
+
+        out_state = jax.tree.map(pick, fresh, stepped)
+        out_obs = jnp.where(done[:, None], fresh_obs[idx], obs)
+        return out_state, out_obs
+
+    def full(args):
+        stepped, obs, done, reset_keys = args
+        fresh = vreset(reset_keys)
+
+        def pick(f, o):
+            d = done.reshape(done.shape + (1,) * (f.ndim - 1))
+            return jnp.where(d, f, o)
+
+        out_state = jax.tree.map(pick, fresh, stepped)
+        out_obs = jnp.where(done[:, None], vreset_obs(fresh), obs)
+        return out_state, out_obs
+
+    def auto_step(state, action):
+        new_state, ts = vstep(state, action)
+        done = ts.done
+        next_keys, reset_keys = vsplit(_get_key(new_state))
+        stepped = _set_key(new_state, next_keys)
+
+        if F >= num_envs:
+            out_state, obs = full((stepped, ts.obs, done, reset_keys))
+        else:
+            out_state, obs = jax.lax.cond(
+                jnp.sum(done) <= F,
+                pooled,
+                full,
+                (stepped, ts.obs, done, reset_keys),
+            )
+        info = dict(ts.info)
+        info["terminal_observation"] = ts.obs
+        return out_state, TimeStep(
+            obs=obs,
+            reward=ts.reward,
+            terminated=ts.terminated,
+            truncated=ts.truncated,
+            info=info,
+        )
+
+    return auto_step

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from usv_tpu.envs.autoreset import make_autoreset_step
+from usv_tpu.envs.autoreset import (
+    default_reset_pool,
+    make_autoreset_step,
+    make_pooled_autoreset_step,
+)
 from usv_tpu.envs.registry import EnvHandle
 from usv_tpu.envs.types import TimeStep
 from usv_tpu.vector.frames import init_frames, push_frames
@@ -48,7 +52,7 @@ class BatchedEnv:
     """
 
     def __init__(self, handle: EnvHandle, num_envs: int, frame_stack: int = 0,
-                 sanitize: bool = False):
+                 sanitize: bool = False, reset_pool: Optional[int] = None):
         self.handle = handle
         self.cfg = handle.cfg
         self.num_envs = num_envs
@@ -65,10 +69,18 @@ class BatchedEnv:
             def step_fn(cfg_, state, action):
                 return _san(state, action)
 
-        auto = make_autoreset_step(
-            self.cfg, step_fn, handle.reset, handle.reset_obs
-        )
-        self._vstep = jax.vmap(auto)
+        # reset_pool: fresh resets generated per step (amortized autoreset;
+        # see envs/autoreset.py). None auto-sizes; 0 forces the per-env path.
+        pool = default_reset_pool(num_envs) if reset_pool is None else reset_pool
+        if pool and pool < num_envs:
+            self._vstep = make_pooled_autoreset_step(
+                self.cfg, step_fn, handle.reset, handle.reset_obs,
+                num_envs, pool,
+            )
+        else:
+            self._vstep = jax.vmap(make_autoreset_step(
+                self.cfg, step_fn, handle.reset, handle.reset_obs
+            ))
         self._vreset = jax.vmap(partial(handle.reset, self.cfg))
         self._vreset_obs = jax.vmap(partial(handle.reset_obs, self.cfg))
         self._jit_step = jax.jit(self._step_impl, donate_argnums=(0,))

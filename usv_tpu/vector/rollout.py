@@ -16,7 +16,11 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from usv_tpu.envs.autoreset import make_autoreset_step
+from usv_tpu.envs.autoreset import (
+    default_reset_pool,
+    make_autoreset_step,
+    make_pooled_autoreset_step,
+)
 from usv_tpu.envs.registry import EnvHandle
 
 
@@ -26,6 +30,7 @@ def rollout_scan(
     n_steps: int,
     policy_fn: Optional[Callable] = None,
     collect: bool = False,
+    reset_pool: Optional[int] = None,
 ):
     """Build a jitted function: key -> rollout aggregates.
 
@@ -33,9 +38,21 @@ def rollout_scan(
     profile protocol). With ``collect=True`` the full (T, B, ...) obs/reward
     trajectory is returned; otherwise only final state + running aggregates
     (reward sum, done count) to keep HBM traffic minimal.
+
+    ``reset_pool``: fresh resets generated per step (see
+    :func:`make_pooled_autoreset_step`). None auto-sizes (num_envs//8 for
+    batches >= 1024, else the exact per-env path); 0 forces per-env.
     """
     cfg = handle.cfg
-    auto = jax.vmap(make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs))
+    pool = default_reset_pool(num_envs) if reset_pool is None else reset_pool
+    if pool and pool < num_envs:
+        auto = make_pooled_autoreset_step(
+            cfg, handle.step, handle.reset, handle.reset_obs, num_envs, pool
+        )
+    else:
+        auto = jax.vmap(
+            make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+        )
     vreset = jax.vmap(partial(handle.reset, cfg))
     vreset_obs = jax.vmap(partial(handle.reset_obs, cfg))
 
