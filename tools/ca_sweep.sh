@@ -1,15 +1,15 @@
 #!/bin/bash
 # CA-env high-throughput tuning sweep — RESOLVED. Finding (see
 # docs/PERFORMANCE.md "CA-env quality at throughput"): the fused configs
-# match the update-dense regime's policy quality once given a matching
-# optimizer budget. Winner below: 1024 envs, gradient-steps 64 fused by 4
-# (16 sequential optimizer steps of batch 1024 per 8192-step round), 96M
-# env steps — 91.1% arrivals / 8.9% collisions at 1.76M env-steps/s, vs
-# the dense 64-env regime's 92.7% / 6.4% at 40k steps/s (within eval
-# noise, ~44x the collect rate, comparable wall-clock). Budget is the
-# dominant knob (32M runs plateau at 64-75%); fusion depth k<=8 is a mild
-# second (k8: 87.9%); doubling update density (g128) or linear lr decay
-# both hurt.
+# match-or-beat the update-dense regime once given a matching optimizer
+# budget, and are far more seed-reliable. Winner below: 1024 envs,
+# gradient-steps 64 fused by 4 (16 sequential optimizer steps of batch
+# 1024 per 8192-step round), 96M env steps at 1.76M env-steps/s incl.
+# updates — 82 +/- 7% arrivals over 4 seeds (best 91.1% / 8.9%
+# collisions), vs the dense 64-env regime's 27-93% across seeds at its
+# 4M-step budget (0.29M steps/s). Budget is the dominant knob (32M runs
+# plateau at 64-75%); fusion depth k<=8 is a mild second (k8: 87.9%);
+# doubling update density (g128) or linear lr decay both hurt.
 #
 # One TPU process at a time (sequential). Each run ends with an
 # arrival/collision eval of the exported bundle (16 envs x 5000 steps).
