@@ -56,12 +56,15 @@ def _batched_kernel(
         best_key, best_dist = carry
         nx = ox_ref[pl.ds(k, 1), :] - x          # (1, T)
         ny = oy_ref[pl.ds(k, 1), :] - y
-        r = or_ref[pl.ds(k, 1), :]
+        r2 = or_ref[pl.ds(k, 1), :]              # radius SQUARED (prefolded)
         xk = c * nx + s * ny                     # (R, T)
         yk = s * nx - c * ny
-        delta = r * r - yk * yk
-        dist = xk - jnp.sqrt(jnp.maximum(delta, 0.0))
+        delta = r2 - yk * yk
         if first_hit:
+            # No delta>=0 test and no maximum(delta, 0): a miss (delta < 0)
+            # makes sqrt return NaN, NaN poisons dist, and `dist < max_range`
+            # is then false — the IEEE semantics do the gating for free.
+            dist = xk - jnp.sqrt(delta)
             # aux is the ordering key with +inf in masked-out slots (folded
             # on the XLA side), so invalid obstacles can never win the
             # strict < below and no separate mask test is needed. Processing
@@ -70,12 +73,14 @@ def _batched_kernel(
             # unstable, so any tie order is equally faithful).
             key_k = aux_ref[pl.ds(k, 1), :]      # (1, T)
             better = (
-                (xk >= 0.0) & (delta >= 0.0) & (dist < max_range)
-                & (key_k < best_key)
+                (xk >= 0.0) & (dist < max_range) & (key_k < best_key)
             )
             best_dist = jnp.where(better, dist, best_dist)
             best_key = jnp.where(better, key_k, best_key)
         else:
+            # true-min folds dist into a running minimum, so NaN must be
+            # clamped out here (jnp.minimum would propagate it)
+            dist = xk - jnp.sqrt(jnp.maximum(delta, 0.0))
             m = aux_ref[pl.ds(k, 1), :]
             valid = (xk >= 0.0) & (delta >= 0.0) & (m > 0.5)
             best_dist = jnp.minimum(best_dist, jnp.where(valid, dist, max_range))
@@ -125,7 +130,8 @@ def raycast_pallas_batched(
     )  # (4, Bp)
     ox_t = obs_xy[..., 0].T.astype(jnp.float32)       # (K, Bp)
     oy_t = obs_xy[..., 1].T.astype(jnp.float32)
-    or_t = obs_r.T.astype(jnp.float32)
+    r32 = obs_r.astype(jnp.float32)
+    or_t = (r32 * r32).T                              # radius squared
     if first_hit:
         # fold the validity mask into the ordering key (inf never wins)
         aux_t = jnp.where(
