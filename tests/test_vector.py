@@ -50,8 +50,8 @@ def test_autoreset_on_time_limit():
     assert len(np.unique(pos[:, 2])) > 1
 
 
-def test_pooled_autoreset_staggered_dones():
-    """Done envs consume DISTINCT pool entries (pooled fast path)."""
+def test_pooled_autoreset_wave_and_fast_path():
+    """BatchedEnv(reset_pool=F): wave fallback AND the pooled fast path."""
     h = make("usv-simple", max_episode_steps=3)
     benv = BatchedEnv(h, num_envs=16, reset_pool=8)
     state, _ = benv.reset(jax.random.key(4))
@@ -64,10 +64,23 @@ def test_pooled_autoreset_staggered_dones():
     # every env got its own independent reset (no duplicated pool entries)
     assert len(np.unique(pos[:, 0])) == 16
 
-    # now desynchronize: run 1 more step so no env is done, then force two
-    # envs done via the TimeLimit by comparing against a fresh copy
+    # desynchronize: advance two envs' step counters so only they hit the
+    # TimeLimit on the next jitted step -> sum(done)=2 <= F=8 takes the
+    # pooled branch inside BatchedEnv's donated step program
+    sc = np.zeros(16, dtype=np.asarray(state.env.step_count).dtype)
+    sc[3] = sc[11] = 2
+    state = state.replace(env=state.env.replace(step_count=jnp.asarray(sc)))
+    old_pos = np.asarray(state.env.position)
     state, ts = benv.step(state, jnp.zeros((16, 2)))
-    assert not np.any(np.asarray(ts.done))
+    done = np.asarray(ts.done)
+    assert done[3] and done[11] and done.sum() == 2
+    new_pos = np.asarray(state.env.position)
+    # distinct fresh states from the pool, untouched envs keep stepping
+    assert not np.allclose(new_pos[3], old_pos[3])
+    assert not np.allclose(new_pos[11], old_pos[11])
+    assert not np.allclose(new_pos[3], new_pos[11])
+    sc2 = np.asarray(state.env.step_count)
+    assert sc2[3] == 0 and sc2[11] == 0 and np.all(np.delete(sc2, [3, 11]) == 1)
 
 
 def test_pooled_autoreset_partial_wave():

@@ -156,12 +156,7 @@ def make_pooled_autoreset_step(
     def full(args):
         stepped, obs, done, reset_keys = args
         fresh = vreset(reset_keys)
-
-        def pick(f, o):
-            d = done.reshape(done.shape + (1,) * (f.ndim - 1))
-            return jnp.where(d, f, o)
-
-        out_state = jax.tree.map(pick, fresh, stepped)
+        out_state = _select(done, fresh, stepped)
         out_obs = jnp.where(done[:, None], vreset_obs(fresh), obs)
         return out_state, out_obs
 

@@ -70,7 +70,9 @@ class BatchedEnv:
                 return _san(state, action)
 
         # reset_pool: fresh resets generated per step (amortized autoreset;
-        # see envs/autoreset.py). None auto-sizes; 0 forces the per-env path.
+        # see envs/autoreset.py). None -> default_reset_pool() == 0, the
+        # per-env select path (pooled measured slower on TPU); explicit
+        # F > 0 opts in.
         pool = default_reset_pool(num_envs) if reset_pool is None else reset_pool
         if pool and pool < num_envs:
             self._vstep = make_pooled_autoreset_step(

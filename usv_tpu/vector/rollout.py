@@ -40,8 +40,10 @@ def rollout_scan(
     (reward sum, done count) to keep HBM traffic minimal.
 
     ``reset_pool``: fresh resets generated per step (see
-    :func:`make_pooled_autoreset_step`). None auto-sizes (num_envs//8 for
-    batches >= 1024, else the exact per-env path); 0 forces per-env.
+    :func:`make_pooled_autoreset_step`). None uses
+    :func:`default_reset_pool`, which is currently 0 — the per-env select
+    path everywhere (the pooled variant measured SLOWER on TPU); pass an
+    explicit F > 0 to opt in.
     """
     cfg = handle.cfg
     pool = default_reset_pool(num_envs) if reset_pool is None else reset_pool
