@@ -5,7 +5,7 @@
 # budget, and are far more seed-reliable. Winner below: 1024 envs,
 # gradient-steps 64 fused by 4 (16 sequential optimizer steps of batch
 # 1024 per 8192-step round), 96M env steps at 1.76M env-steps/s incl.
-# updates — 82 +/- 7% arrivals over 4 seeds (best 91.1% / 8.9%
+# updates — 81 +/- 6% arrivals over 6 seeds (best 91.1% / 8.9%
 # collisions), vs the dense 64-env regime's 27-93% across seeds at its
 # 4M-step budget (0.29M steps/s). Budget is the dominant knob (32M runs
 # plateau at 64-75%); fusion depth k<=8 is a mild second (k8: 87.9%);
