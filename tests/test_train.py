@@ -166,6 +166,24 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_ppo_eval_policy_and_lr_decay():
+    """PPO deterministic eval (the SAC-comparable protocol) + linear lr
+    decay over gradient updates train finitely."""
+    cfg = dataclasses.replace(SMALL_PPO, lr_decay_updates=8,
+                              lr_final_fraction=0.0)
+    h = make("usv-simple")
+    learner = PpoLearner(h, cfg)
+    ts = learner.init(seed=1)
+    ts, _ = learner.train_iteration(ts)
+    ts, _ = learner.train_iteration(ts)
+    ev = learner.eval_policy(ts, n_steps=20, num_envs=4)
+    assert np.isfinite(ev)
+    ev2 = learner.eval_policy(ts, n_steps=20, num_envs=4)  # cached program
+    assert ev == ev2
+    for leaf in jax.tree.leaves(ts.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_sac_lr_decay_schedule():
     """lr_decay_steps: linear decay over gradient steps, finite training."""
     cfg = dataclasses.replace(SMALL_SAC, lr_decay_steps=20,

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,12 @@ class PpoConfig:
     batch_size: int = 64         # config.py:8
     n_epochs: int = 10           # SB3 default
     learning_rate: float = 3e-4  # SB3 default (config comments one out)
+    # optional linear lr decay over the first lr_decay_updates GRADIENT
+    # updates (to lr * lr_final_fraction, held constant after) — the analog
+    # of SB3's linear lr schedule and the standard guard against late-run
+    # PPO policy collapse (see docs/PERFORMANCE.md, at-scale PPO study).
+    lr_decay_updates: Optional[int] = None
+    lr_final_fraction: float = 0.0
     gamma: float = 0.99
     gae_lambda: float = 0.95
     clip_range: float = 0.2
@@ -81,10 +87,19 @@ class PpoLearner:
             use_sde=config.use_sde,
             compute_dtype=jnp.dtype(config.compute_dtype),
         )
+        if config.lr_decay_updates:
+            lr = optax.linear_schedule(
+                config.learning_rate,
+                config.learning_rate * config.lr_final_fraction,
+                config.lr_decay_updates,
+            )
+        else:
+            lr = config.learning_rate
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.learning_rate),
+            optax.adam(lr),
         )
+        self._jit_eval = {}
         step_fn = handle.step
         if config.sanitize_envs:
             from usv_tpu.utils.guards import make_sanitized_step
@@ -280,6 +295,50 @@ class PpoLearner:
     def train_iteration(self, ts: PpoTrainState):
         """One {rollout, GAE, epochs x minibatches} cycle as one device call."""
         return self._jit_iter(ts)
+
+    # --------------------------------------------------------------- eval
+
+    def eval_policy(self, ts: PpoTrainState, n_steps: int = 500,
+                    num_envs: int = 16) -> float:
+        """Deterministic-policy rollout (clipped mean action) on fresh envs;
+        returns mean reward per step — the same protocol as
+        ``SacLearner.eval_policy``, so SAC/PPO numbers are comparable. The
+        jitted rollout is cached per (n_steps, num_envs)."""
+        if (n_steps, num_envs) not in self._jit_eval:
+            self._jit_eval[(n_steps, num_envs)] = self._build_eval(
+                n_steps, num_envs
+            )
+        run = self._jit_eval[(n_steps, num_envs)]
+        return float(run(ts.params, jax.random.fold_in(ts.key, 7)))
+
+    def _build_eval(self, n_steps, num_envs):
+        cfg = self.cfg
+        handle = self.handle
+        low = jnp.asarray(handle.cfg.action_low)
+        high = jnp.asarray(handle.cfg.action_high)
+
+        @jax.jit
+        def run(params, key):
+            env_keys = jax.random.split(key, num_envs)
+            env_state = jax.vmap(lambda k: handle.reset(handle.cfg, k))(env_keys)
+            obs0 = jax.vmap(lambda s: handle.reset_obs(handle.cfg, s))(env_state)
+            frames = init_frames(obs0, cfg.frame_stack)
+
+            def body(carry, _):
+                env_state, frames = carry
+                obs = frames.reshape(num_envs, -1)
+                mean, _, _, _ = self.model.apply(params, obs)
+                actions = jnp.clip(mean, low, high)
+                env_state, step_ts = self._auto_step(env_state, actions)
+                new_frames = push_frames(frames, step_ts.obs, step_ts.done)
+                return (env_state, new_frames), jnp.mean(step_ts.reward)
+
+            _, rewards = jax.lax.scan(
+                body, (env_state, frames), None, length=n_steps
+            )
+            return jnp.mean(rewards)
+
+        return run
 
     # ---------------------------------------------------------- diagnostics
 

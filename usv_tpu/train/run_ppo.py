@@ -30,6 +30,13 @@ def main(argv=None):
     p.add_argument("--watch-every-iters", type=int, default=20,
                    help="log parameter-norm diagnostics every N iterations "
                         "(the reference's wandb.watch analog); 0 disables")
+    p.add_argument("--eval-every-iters", type=int, default=10,
+                   help="deterministic-policy eval every N iterations; the "
+                        "best evaluation's policy is exported to "
+                        "<logdir>/policy_best (0 disables)")
+    p.add_argument("--lr-decay-updates", type=int, default=0,
+                   help="linear lr decay over this many gradient updates "
+                        "(0 = constant lr)")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -46,19 +53,21 @@ def main(argv=None):
         num_envs=args.num_envs,
         frame_stack=args.frame_stack,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        lr_decay_updates=args.lr_decay_updates or None,
     )
     learner = PpoLearner(handle, cfg)
     ts = learner.init(seed=args.seed)
     logger = MetricLogger(args.logdir, config=vars(args))
+    from usv_tpu.train.policy import export_policy
 
     steps_per_iter = cfg.n_steps * cfg.num_envs
     it = 0
+    best_eval = float("-inf")
     t0 = time.time()
     while it * steps_per_iter < args.total_steps:
         ts, mean_reward = learner.train_iteration(ts)
         it += 1
         sps = steps_per_iter / max(1e-9, time.time() - t0)
-        t0 = time.time()
         metrics = dict(
             env_steps=it * steps_per_iter,
             mean_reward=float(mean_reward),
@@ -66,6 +75,12 @@ def main(argv=None):
         )
         if args.watch_every_iters and it % args.watch_every_iters == 0:
             metrics.update(learner.watch(ts))
+        if args.eval_every_iters and it % args.eval_every_iters == 0:
+            ev = learner.eval_policy(ts)
+            metrics["eval_reward_per_step"] = ev
+            if ev > best_eval:
+                best_eval = ev
+                export_policy(learner, ts, f"{args.logdir}/policy_best")
         if args.video_every_iters and it % args.video_every_iters == 0:
             from usv_tpu.utils.video import record_rollout_video
 
@@ -90,9 +105,8 @@ def main(argv=None):
         print({k: round(v, 3) if isinstance(v, float) else v for k, v in metrics.items()}, flush=True)
         if args.checkpoint_every_iters and it % args.checkpoint_every_iters == 0:
             save_checkpoint(f"{args.logdir}/ckpt", ts, it * steps_per_iter)
+        t0 = time.time()  # exclude eval/checkpoint from the next iter's rate
     save_checkpoint(f"{args.logdir}/ckpt", ts, it * steps_per_iter)
-    from usv_tpu.train.policy import export_policy
-
     export_policy(learner, ts, f"{args.logdir}/policy")
     logger.close()
 

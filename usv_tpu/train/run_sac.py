@@ -110,8 +110,11 @@ def main(argv=None):
         ts = shard_sac_train_state(ts, make_env_mesh())
 
     logger = MetricLogger(args.logdir, config=vars(args))
+    from usv_tpu.train.policy import export_policy
+
     steps_per_block = args.rounds_per_block * cfg.train_freq * cfg.num_envs
     block = 0
+    best_eval = float("-inf")
     t0 = time.time()
     while int(ts.env_steps) * cfg.num_envs < args.total_steps:
         ts, reward_sum = learner.train_rounds(ts, args.rounds_per_block)
@@ -125,7 +128,11 @@ def main(argv=None):
             steps_per_second=sps,
         )
         if args.eval_every_blocks and block % args.eval_every_blocks == 0:
-            metrics["eval_reward_per_step"] = learner.eval_policy(ts)
+            ev = learner.eval_policy(ts)
+            metrics["eval_reward_per_step"] = ev
+            if ev > best_eval:
+                best_eval = ev
+                export_policy(learner, ts, f"{args.logdir}/policy_best")
             if int(ts.buffer.size) > 0:  # wandb.watch analog (needs data)
                 metrics.update(learner.watch(ts))
         if args.video_every_blocks and block % args.video_every_blocks == 0:
@@ -151,8 +158,6 @@ def main(argv=None):
         t0 = time.time()  # exclude eval/checkpoint from the next block's rate
     save_checkpoint(f"{args.logdir}/ckpt", ts, int(ts.env_steps) * cfg.num_envs,
                     include_buffer=not args.light_checkpoints)
-    from usv_tpu.train.policy import export_policy
-
     export_policy(learner, ts, f"{args.logdir}/policy")
     logger.close()
 
