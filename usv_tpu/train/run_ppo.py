@@ -67,10 +67,11 @@ def main(argv=None):
     while it * steps_per_iter < args.total_steps:
         ts, mean_reward = learner.train_iteration(ts)
         it += 1
+        mean_reward = float(mean_reward)  # device sync — time the real work
         sps = steps_per_iter / max(1e-9, time.time() - t0)
         metrics = dict(
             env_steps=it * steps_per_iter,
-            mean_reward=float(mean_reward),
+            mean_reward=mean_reward,
             steps_per_second=sps,
         )
         if args.watch_every_iters and it % args.watch_every_iters == 0:
