@@ -288,6 +288,8 @@ def test_ppo_seed_parallel_population():
     assert np.all(np.isfinite(np.asarray(rewards)))
     leaf = np.asarray(jax.tree.leaves(ts.params)[0])
     assert leaf.shape[0] == 2 and not np.allclose(leaf[0], leaf[1])
+    evals = learner.eval_policy_many(ts, n_steps=10, num_envs=2)
+    assert evals.shape == (2,) and np.all(np.isfinite(evals))
 
 
 def test_ppo_improves_on_cheap_env():

@@ -340,6 +340,20 @@ class PpoLearner:
 
         return run
 
+    def eval_policy_many(self, ts: PpoTrainState, n_steps: int = 500,
+                         num_envs: int = 16):
+        """Per-seed deterministic eval -> (S,) mean reward/step array (the
+        population counterpart of :meth:`eval_policy`; see
+        ``SacLearner.eval_policy_many``)."""
+        key = ("many", n_steps, num_envs)
+        if key not in self._jit_eval:
+            run = self._build_eval(n_steps, num_envs)
+            self._jit_eval[key] = jax.jit(jax.vmap(run))
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(ts.key)
+        import numpy as np
+
+        return np.asarray(self._jit_eval[key](ts.params, keys))
+
     # ---------------------------------------------------------- diagnostics
 
     def watch(self, ts: PpoTrainState) -> dict:
