@@ -166,6 +166,23 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_eval_policy_stats_outcome_counts():
+    """eval_policy_stats reports outcome counts; envs that expose
+    arrived/collision (the CA env) get task-metric keys for model
+    selection (--best-metric arrivals)."""
+    learner = SacLearner(make("usv-asmc-ca-v0"), SMALL_SAC)
+    stats = learner.eval_policy_stats(learner.init(seed=0), n_steps=10,
+                                      num_envs=2)
+    for k in ("reward_per_step", "episodes", "terminations", "truncations",
+              "arriveds", "collisions"):
+        assert k in stats and np.isfinite(stats[k]), k
+
+    simple = SacLearner(make("usv-simple"), SMALL_SAC)
+    s2 = simple.eval_policy_stats(simple.init(seed=0), n_steps=10, num_envs=2)
+    assert "reward_per_step" in s2 and "episodes" in s2
+    assert "arriveds" not in s2
+
+
 def test_ppo_eval_policy_and_lr_decay():
     """PPO deterministic eval (the SAC-comparable protocol) + linear lr
     decay over gradient updates train finitely."""

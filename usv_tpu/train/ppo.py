@@ -308,8 +308,19 @@ class PpoLearner:
             self._jit_eval[(n_steps, num_envs)] = self._build_eval(
                 n_steps, num_envs
             )
+        return self.eval_policy_stats(ts, n_steps, num_envs)["reward_per_step"]
+
+    def eval_policy_stats(self, ts: PpoTrainState, n_steps: int = 500,
+                          num_envs: int = 16) -> dict:
+        """Deterministic eval with outcome counts (see
+        ``SacLearner.eval_policy_stats``)."""
+        if (n_steps, num_envs) not in self._jit_eval:
+            self._jit_eval[(n_steps, num_envs)] = self._build_eval(
+                n_steps, num_envs
+            )
         run = self._jit_eval[(n_steps, num_envs)]
-        return float(run(ts.params, jax.random.fold_in(ts.key, 7)))
+        out = run(ts.params, jax.random.fold_in(ts.key, 7))
+        return {k: float(v) for k, v in out.items()}
 
     def _build_eval(self, n_steps, num_envs):
         cfg = self.cfg
@@ -331,12 +342,23 @@ class PpoLearner:
                 actions = jnp.clip(mean, low, high)
                 env_state, step_ts = self._auto_step(env_state, actions)
                 new_frames = push_frames(frames, step_ts.obs, step_ts.done)
-                return (env_state, new_frames), jnp.mean(step_ts.reward)
+                per_step = {
+                    "reward": jnp.mean(step_ts.reward),
+                    "episodes": jnp.sum(step_ts.done),
+                    "terminations": jnp.sum(step_ts.terminated),
+                    "truncations": jnp.sum(step_ts.truncated),
+                }
+                for k in ("arrived", "collision"):
+                    if k in step_ts.info:
+                        per_step[k + "s"] = jnp.sum(step_ts.info[k])
+                return (env_state, new_frames), per_step
 
-            _, rewards = jax.lax.scan(
+            _, acc = jax.lax.scan(
                 body, (env_state, frames), None, length=n_steps
             )
-            return jnp.mean(rewards)
+            out = {"reward_per_step": jnp.mean(acc.pop("reward"))}
+            out.update({k: jnp.sum(v) for k, v in acc.items()})
+            return out
 
         return run
 
@@ -352,7 +374,8 @@ class PpoLearner:
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(ts.key)
         import numpy as np
 
-        return np.asarray(self._jit_eval[key](ts.params, keys))
+        out = self._jit_eval[key](ts.params, keys)
+        return np.asarray(out["reward_per_step"])
 
     # ---------------------------------------------------------- diagnostics
 

@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--lr-decay-updates", type=int, default=0,
                    help="linear lr decay over this many gradient updates "
                         "(0 = constant lr)")
+    p.add_argument("--best-metric", choices=["reward", "arrivals"],
+                   default="reward",
+                   help="metric that selects <logdir>/policy_best: eval "
+                        "reward/step, or arrival rate on envs that report "
+                        "arrivals (falls back to reward elsewhere)")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -77,10 +82,18 @@ def main(argv=None):
         if args.watch_every_iters and it % args.watch_every_iters == 0:
             metrics.update(learner.watch(ts))
         if args.eval_every_iters and it % args.eval_every_iters == 0:
-            ev = learner.eval_policy(ts)
+            stats = learner.eval_policy_stats(ts)
+            ev = stats["reward_per_step"]
             metrics["eval_reward_per_step"] = ev
-            if ev > best_eval:
-                best_eval = ev
+            score = ev
+            if "arriveds" in stats:
+                eps = max(stats["episodes"], 1.0)
+                metrics["eval_arrival_rate"] = stats["arriveds"] / eps
+                metrics["eval_collision_rate"] = stats["collisions"] / eps
+                if args.best_metric == "arrivals":
+                    score = metrics["eval_arrival_rate"]
+            if score > best_eval:
+                best_eval = score
                 export_policy(learner, ts, f"{args.logdir}/policy_best")
         if args.video_every_iters and it % args.video_every_iters == 0:
             from usv_tpu.utils.video import record_rollout_video

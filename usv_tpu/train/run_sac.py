@@ -39,6 +39,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint-every-blocks", type=int, default=10)
     p.add_argument("--eval-every-blocks", type=int, default=5)
+    p.add_argument("--best-metric", choices=["reward", "arrivals"],
+                   default="reward",
+                   help="metric that selects <logdir>/policy_best: eval "
+                        "reward/step, or arrival rate on envs that report "
+                        "arrivals (e.g. usv-asmc-ca-v0; falls back to "
+                        "reward elsewhere)")
     p.add_argument("--ignore-obstacles", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="shard env batch + replay over all local devices")
@@ -128,10 +134,18 @@ def main(argv=None):
             steps_per_second=sps,
         )
         if args.eval_every_blocks and block % args.eval_every_blocks == 0:
-            ev = learner.eval_policy(ts)
+            stats = learner.eval_policy_stats(ts)
+            ev = stats["reward_per_step"]
             metrics["eval_reward_per_step"] = ev
-            if ev > best_eval:
-                best_eval = ev
+            score = ev
+            if "arriveds" in stats:
+                eps = max(stats["episodes"], 1.0)
+                metrics["eval_arrival_rate"] = stats["arriveds"] / eps
+                metrics["eval_collision_rate"] = stats["collisions"] / eps
+                if args.best_metric == "arrivals":
+                    score = metrics["eval_arrival_rate"]
+            if score > best_eval:
+                best_eval = score
                 export_policy(learner, ts, f"{args.logdir}/policy_best")
             if int(ts.buffer.size) > 0:  # wandb.watch analog (needs data)
                 metrics.update(learner.watch(ts))

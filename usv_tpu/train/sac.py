@@ -526,7 +526,8 @@ class SacLearner:
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(ts.key)
         import numpy as np
 
-        return np.asarray(self._jit_eval[key](ts.actor_params, keys))
+        out = self._jit_eval[key](ts.actor_params, keys)
+        return np.asarray(out["reward_per_step"])
 
     # ---------------------------------------------------------- diagnostics
 
@@ -579,12 +580,22 @@ class SacLearner:
         The jitted rollout is cached per (n_steps, num_envs) — a fresh jit
         per call would recompile every evaluation (tens of seconds on TPU).
         """
+        return self.eval_policy_stats(ts, n_steps, num_envs)["reward_per_step"]
+
+    def eval_policy_stats(self, ts: SacTrainState, n_steps: int = 500,
+                          num_envs: int = 16) -> dict:
+        """Deterministic eval with outcome counts: ``reward_per_step`` plus
+        ``episodes``/``terminations``/``truncations`` (and ``arriveds``/
+        ``collisions`` where the env reports them) over the rollout —
+        so model selection can use the task metric (e.g. CA arrivals)
+        rather than reward/step."""
         if (n_steps, num_envs) not in self._jit_eval:
             self._jit_eval[(n_steps, num_envs)] = self._build_eval(
                 n_steps, num_envs
             )
         run = self._jit_eval[(n_steps, num_envs)]
-        return float(run(ts.actor_params, jax.random.fold_in(ts.key, 7)))
+        out = run(ts.actor_params, jax.random.fold_in(ts.key, 7))
+        return {k: float(v) for k, v in out.items()}
 
     def _build_eval(self, n_steps, num_envs):
         cfg = self.cfg
@@ -603,9 +614,23 @@ class SacLearner:
                 actions = self.actor.deterministic(actor_params, obs)
                 env_state, step_ts = self._auto_step(env_state, actions)
                 new_frames = push_frames(frames, step_ts.obs, step_ts.done)
-                return (env_state, new_frames), jnp.mean(step_ts.reward)
+                per_step = {
+                    "reward": jnp.mean(step_ts.reward),
+                    "episodes": jnp.sum(step_ts.done),
+                    "terminations": jnp.sum(step_ts.terminated),
+                    "truncations": jnp.sum(step_ts.truncated),
+                }
+                # task-outcome flags where the env provides them (the CA env
+                # exposes arrived/collision; reward/step is a poor proxy for
+                # its arrival metric — docs/PERFORMANCE.md)
+                for k in ("arrived", "collision"):
+                    if k in step_ts.info:
+                        per_step[k + "s"] = jnp.sum(step_ts.info[k])
+                return (env_state, new_frames), per_step
 
-            _, rewards = jax.lax.scan(body, (env_state, frames), None, length=n_steps)
-            return jnp.mean(rewards)
+            _, acc = jax.lax.scan(body, (env_state, frames), None, length=n_steps)
+            out = {"reward_per_step": jnp.mean(acc.pop("reward"))}
+            out.update({k: jnp.sum(v) for k, v in acc.items()})
+            return out
 
         return run
