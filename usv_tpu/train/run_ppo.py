@@ -42,6 +42,10 @@ def main(argv=None):
                    help="metric that selects <logdir>/policy_best: eval "
                         "reward/step, or arrival rate on envs that report "
                         "arrivals (falls back to reward elsewhere)")
+    p.add_argument("--eval-steps", type=int, default=500,
+                   help="deterministic-eval rollout length")
+    p.add_argument("--eval-envs", type=int, default=16,
+                   help="deterministic-eval batch width")
     args = p.parse_args(argv)
 
     from usv_tpu.envs import make
@@ -82,7 +86,9 @@ def main(argv=None):
         if args.watch_every_iters and it % args.watch_every_iters == 0:
             metrics.update(learner.watch(ts))
         if args.eval_every_iters and it % args.eval_every_iters == 0:
-            stats = learner.eval_policy_stats(ts)
+            stats = learner.eval_policy_stats(
+                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
+            )
             ev = stats["reward_per_step"]
             metrics["eval_reward_per_step"] = ev
             score = ev

@@ -45,6 +45,12 @@ def main(argv=None):
                         "reward/step, or arrival rate on envs that report "
                         "arrivals (e.g. usv-asmc-ca-v0; falls back to "
                         "reward elsewhere)")
+    p.add_argument("--eval-steps", type=int, default=500,
+                   help="deterministic-eval rollout length; size it so "
+                        "enough episodes finish for the selection metric "
+                        "to be low-noise (CA episodes run up to 5000 steps)")
+    p.add_argument("--eval-envs", type=int, default=16,
+                   help="deterministic-eval batch width")
     p.add_argument("--ignore-obstacles", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="shard env batch + replay over all local devices")
@@ -134,7 +140,9 @@ def main(argv=None):
             steps_per_second=sps,
         )
         if args.eval_every_blocks and block % args.eval_every_blocks == 0:
-            stats = learner.eval_policy_stats(ts)
+            stats = learner.eval_policy_stats(
+                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
+            )
             ev = stats["reward_per_step"]
             metrics["eval_reward_per_step"] = ev
             score = ev
