@@ -163,3 +163,22 @@ def test_tools_test_env_runs():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Completed Execution" in out.stdout
+
+
+def test_bench_policy_tool_runs():
+    """tools/bench_policy.py (serving benchmark) runs standalone and emits
+    one JSON row per batch width with throughput + latency fields."""
+    out = subprocess.run(
+        [sys.executable, "tools/bench_policy.py", "--batch", "1", "8",
+         "--chain", "4", "--latency-calls", "3"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/opt/venv/bin",
+             "PYTHONPATH": "."},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(line) for line in out.stdout.splitlines()
+            if line.startswith("{")]
+    assert [r["batch"] for r in rows] == [1, 8]
+    for r in rows:
+        assert r["actions_per_s"] > 0
+        assert r["dispatch_ms_p50"] > 0
