@@ -276,6 +276,34 @@ def test_policy_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(ppol(obs)), want, atol=1e-6)
 
 
+def test_numpy_policy_matches_jax(tmp_path):
+    """export_numpy_policy -> load_numpy_policy (NumPy-only module) agrees
+    with the jitted Policy for both SAC and PPO bundles."""
+    from usv_tpu.train.policy import (
+        export_numpy_policy, export_policy, load_policy,
+    )
+    from usv_tpu.utils.numpy_policy import load_numpy_policy
+
+    h = make("usv-simple")
+    obs = None
+    for name, learner in (
+        ("sac", SacLearner(h, SMALL_SAC)),
+        ("ppo", PpoLearner(h, SMALL_PPO)),
+    ):
+        ts = learner.init(seed=0)
+        export_policy(learner, ts, tmp_path / name)
+        npz = export_numpy_policy(tmp_path / name)
+        np_pol = load_numpy_policy(npz)
+        jax_pol = load_policy(tmp_path / name)
+        obs = np.random.default_rng(1).normal(
+            size=(7, np_pol.obs_dim)
+        ).astype(np.float32)
+        np.testing.assert_allclose(
+            np_pol(obs), np.asarray(jax_pol(obs)), atol=1e-5
+        )
+        assert np_pol(obs[0]).shape == (np_pol.action_dim,)
+
+
 def test_run_eval_cli(tmp_path):
     """run_eval over a fresh bundle: writes diagnostics + summary."""
     import json

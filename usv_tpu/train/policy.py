@@ -124,6 +124,36 @@ class Policy:
         return out[0] if squeeze else out
 
 
+def export_numpy_policy(bundle_path, out_path=None) -> str:
+    """Convert a bundle into one ``.npz`` servable with NumPy alone.
+
+    Flattens the actor params to '/'-joined paths and embeds the bundle
+    metadata, so ``usv_tpu.utils.numpy_policy.load_numpy_policy`` (a module
+    that imports only NumPy) can rebuild the deterministic policy with no
+    JAX/flax/orbax on the target — the on-vehicle deployment tier the
+    reference lacks (its model.zip needs SB3+torch to reload).
+    """
+    from collections.abc import Mapping
+
+    bundle_path = Path(bundle_path).absolute()
+    policy = load_policy(bundle_path)
+
+    def flatten(tree, prefix, out):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}"
+            if isinstance(v, Mapping):
+                flatten(v, key, out)
+            else:
+                out[key] = np.asarray(v)
+        return out
+
+    arrays = flatten(policy.params, "", {})
+    arrays = {k.lstrip("/"): v for k, v in arrays.items()}
+    out_path = Path(out_path) if out_path else bundle_path / "policy_np.npz"
+    np.savez(out_path, __meta__=np.asarray(json.dumps(policy.meta)), **arrays)
+    return str(out_path)
+
+
 def load_policy(path) -> Policy:
     """Load a bundle written by :func:`export_policy`."""
     import orbax.checkpoint as ocp
