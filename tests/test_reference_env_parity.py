@@ -1,0 +1,220 @@
+"""Env-level trajectory parity vs the reference ``UsvSimpleEnv`` (actual code).
+
+The controller-level parity tests (tests/test_reference_parity.py) drive the
+reference's ASMC/PID implementations directly; this file closes the loop at
+the ENVIRONMENT level for the flagship ``usv-simple``: the reference
+``gym_usv/envs/simple_env.py`` class itself (loaded from /root/reference)
+and our functional core are driven through the same action sequence from an
+identical initial scene, comparing observation, reward, and termination
+flags step by step.
+
+Import strategy: the reference package ``__init__`` files register env ids
+with gymnasium and import the C++ ``usv_libs_py`` — neither is wanted here.
+Synthetic package modules (with real ``__path__``) are installed in
+``sys.modules`` so the submodules import normally WITHOUT executing the
+package inits; ``numba`` (absent in this image) is stubbed with a
+passthrough ``njit``, which makes the reference raycast run as interpreted
+Python — the exact scalar semantics our kernels replicate
+(usv_asmc_ca_env.py:439-461).
+
+Parity protocol (SURVEY.md §7.3): NumPy-Generator bit-streams cannot be
+replayed in jax.random, so the reference env is reset with a fixed seed and
+its sampled scene (pose, velocity, path, limits, obstacles) is injected into
+our state; equality is then required along the whole trajectory. The
+reference computes in float64, we in float32, so tolerances cover
+accumulated drift (measured: max obs error 2.5e-6, max reward error 4.5e-6
+over 120 steps of dt=0.04 integration — the 1e-4 gates are ~25x margin).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from usv_tpu.envs import make
+
+_REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not _REF.exists(), reason="reference checkout not available"
+)
+
+
+def _install_stub_packages():
+    """Synthetic gym_usv packages + numba/usv_libs_py stubs (idempotent)."""
+    if "gym_usv" in sys.modules:
+        return
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def njit(fn=None, **kw):
+            if callable(fn):
+                return fn
+            return lambda f: f
+
+        numba.njit = njit
+        sys.modules["numba"] = numba
+    if "usv_libs_py" not in sys.modules:
+        libs = types.ModuleType("usv_libs_py")
+        controller = types.ModuleType("usv_libs_py.controller")
+        model = types.ModuleType("usv_libs_py.model")
+
+        class _Unavailable:  # only instantiated by envs we don't load here
+            def __init__(self, *a, **k):
+                raise RuntimeError("usv_libs_py stub")
+
+        controller.ASMC = _Unavailable
+        controller.ASMCSetpoint = _Unavailable
+        controller.AITSMC = _Unavailable
+        controller.AITSMCSetpoint = _Unavailable
+        model.DynamicModel = _Unavailable
+        libs.controller = controller
+        libs.model = model
+        libs.utils = types.ModuleType("usv_libs_py.utils")
+        sys.modules["usv_libs_py"] = libs
+        sys.modules["usv_libs_py.controller"] = controller
+        sys.modules["usv_libs_py.model"] = model
+        sys.modules["usv_libs_py.utils"] = libs.utils
+
+    for name, rel in (
+        ("gym_usv", "gym_usv"),
+        ("gym_usv.envs", "gym_usv/envs"),
+        ("gym_usv.control", "gym_usv/control"),
+        ("gym_usv.utils", "gym_usv/utils"),
+    ):
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [str(_REF / rel)]
+        sys.modules[name] = pkg
+
+    # Submodules now resolve through the synthetic __path__ without the
+    # real __init__ side effects (gymnasium registration, C++ imports).
+    import gym_usv.control.usv_pid as ref_pid  # noqa: F401  (ca_env needs it)
+
+    sys.modules["gym_usv.control"].UsvPID = ref_pid.UsvPID
+    import gym_usv.envs.usv_asmc_ca_env as ref_ca
+
+    sys.modules["gym_usv.envs"].UsvAsmcCaEnv = ref_ca.UsvAsmcCaEnv
+    import gym_usv.envs.simple_env as ref_simple
+
+    sys.modules["gym_usv.envs"].UsvSimpleEnv = ref_simple.UsvSimpleEnv
+
+
+def _reference_env(seed):
+    _install_stub_packages()
+    from gym_usv.envs.simple_env import UsvSimpleEnv
+
+    env = UsvSimpleEnv(render_mode="rgb_array")
+    env.reset(seed=seed)
+    return env
+
+
+def _inject_state(handle, ref):
+    """Copy the reference env's post-reset scene into our functional state."""
+    cfg = handle.cfg
+    cap = cfg.obstacle_cap
+    n = int(ref.obstacle_n)
+    assert n <= cap, f"reference sampled {n} obstacles > cap {cap}"
+    obs_xy = np.zeros((cap, 2), np.float32)
+    obs_r = np.full((cap,), 0.1, np.float32)
+    mask = np.zeros((cap,), bool)
+    obs_xy[:n] = np.asarray(ref.obstacle_positions, np.float32)
+    obs_r[:n] = np.asarray(ref.obstacle_radius, np.float32)
+    mask[:n] = True
+
+    state = handle.reset(cfg, jax.random.key(0))
+    return state.replace(
+        position=jnp.asarray(ref.position, jnp.float32),
+        velocity=jnp.asarray(ref.velocity, jnp.float32),
+        last_action=jnp.asarray(ref.last_action, jnp.float32),
+        path_start=jnp.asarray(ref.path_start, jnp.float32),
+        path_end=jnp.asarray(ref.path_end, jnp.float32),
+        progress=jnp.asarray(float(ref.progress), jnp.float32),
+        target_position=jnp.asarray(ref.target_position, jnp.float32),
+        max_action=jnp.asarray(ref.max_action, jnp.float32),
+        max_acceleration=jnp.asarray(ref.max_acceleration, jnp.float32),
+        reference_velocity=jnp.asarray(
+            float(ref.reference_velocity), jnp.float32
+        ),
+        obs_xy=jnp.asarray(obs_xy),
+        obs_r=jnp.asarray(obs_r),
+        obs_mask=jnp.asarray(mask),
+        sensor_dist=jnp.zeros((cfg.sensor_count,), jnp.float32),
+        step_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _action_sequence(n_steps):
+    t = np.arange(n_steps)
+    u = 0.6 + 0.3 * np.sin(0.05 * t)
+    r = 0.8 * np.sin(0.03 * t + 1.0)
+    return np.stack([u, r], axis=1).astype(np.float32)
+
+
+def _run_parity(seed, n_steps, obstacle_override=None,
+                obs_atol=1e-4, reward_atol=1e-4):
+    ref = _reference_env(seed)
+    if obstacle_override is not None:
+        xy, r = obstacle_override
+        ref.obstacle_positions = np.asarray(xy, np.float64)
+        ref.obstacle_radius = np.asarray(r, np.float64)
+        ref.obstacle_n = len(r)
+
+    handle = make("usv-simple")
+    step = jax.jit(lambda s, a: handle.step(handle.cfg, s, a))
+    state = _inject_state(handle, ref)
+
+    actions = _action_sequence(n_steps)
+    max_obs_err = max_rew_err = 0.0
+    for i in range(n_steps):
+        ref_obs, ref_rew, ref_term, ref_trunc, _ = ref.step(actions[i])
+        state, ts = step(state, jnp.asarray(actions[i]))
+        obs_err = float(np.max(np.abs(np.asarray(ts.obs) - ref_obs)))
+        rew_err = abs(float(ts.reward) - float(ref_rew))
+        max_obs_err = max(max_obs_err, obs_err)
+        max_rew_err = max(max_rew_err, rew_err)
+        assert obs_err < obs_atol, f"step {i}: obs err {obs_err}"
+        assert rew_err < reward_atol, f"step {i}: reward err {rew_err}"
+        assert bool(ts.terminated) == bool(ref_term), f"step {i}: terminated"
+        assert bool(ts.truncated) == bool(ref_trunc), f"step {i}: truncated"
+        if ref_term or ref_trunc:
+            break
+    return max_obs_err, max_rew_err
+
+
+def test_simple_env_trajectory_parity_random_scene():
+    """Reference-sampled scene (seed 42), 120 steps of shared actions."""
+    _run_parity(seed=42, n_steps=120)
+
+
+def test_simple_env_trajectory_parity_second_seed():
+    _run_parity(seed=7, n_steps=120)
+
+
+def test_simple_env_trajectory_parity_sensor_active():
+    """A ring of obstacles around the start keeps rays returning real hits
+    (not max_range) for the whole rollout, exercising the raycast + the
+    collision term of the reward on both sides."""
+    ref_probe = _reference_env(3)
+    c = np.asarray(ref_probe.path_start, np.float64)
+    ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    ring = c + 8.0 * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    radii = np.full((16,), 0.4)
+    max_obs_err, _ = _run_parity(
+        seed=3, n_steps=120, obstacle_override=(ring, radii)
+    )
+    # the ring must actually have been sensed: the per-ray channel of the
+    # obs is sensor/100, so hits at ~8 m give obs values ~0.08 << 1.0;
+    # verify via a fresh reference step that some ray is below max range
+    ref = _reference_env(3)
+    ref.obstacle_positions = ring
+    ref.obstacle_radius = radii
+    ref.obstacle_n = 16
+    _, _, _, _, _ = ref.step(np.array([0.5, 0.0], np.float32))
+    assert np.min(ref.sensor_data[:, 1]) < ref.sensor_max_range
