@@ -21,7 +21,9 @@ Legacy quirks replicated deliberately:
   x < min_x; reward forced to -1 on termination.
 * ye-int env: integral of ye with reset-on-sign-change and NON-halved
   trapezoid (ye_int += dt*(ye + ye_last); usv_asmc_ye_int_env.py:230-233),
-  observed state uses ye_ss = ye + 0.001 * ye_int.
+  observed state uses ye_ss = ye + 0.001 * ye_int; its reward also differs
+  from the asmc/pid form — plain exp(-k_ye*|ye|) with no sigma branch, and
+  the action term added in both heading branches (:350-360).
 """
 
 from __future__ import annotations
@@ -246,16 +248,27 @@ def _mix_saturate(tx, tz):
     return tport, tstbd
 
 
-def _reward(cfg, ye_abs, psi_ak, action_dot):
-    """usv_asmc_env.py:364-374."""
+def _reward(cfg, ye_abs, psi_ak, action_dot, ye_int_mode=False):
+    """usv_asmc_env.py:364-374 / usv_pid_env.py:329-338.
+
+    The ye-int env's reward differs in TWO ways (usv_asmc_ye_int_env.py
+    :350-360): ``reward_ye`` is the plain exponential ``exp(-k_ye*|ye|)``
+    with no near-path sigma branch, and ``reward_action`` is added in BOTH
+    branches (the asmc/pid form drops it when |psi_ak| >= pi/2).
+    """
     abs_psi = jnp.abs(psi_ak)
     reward_action = cfg.w_action * jnp.tanh(-cfg.c_action * action_dot ** 2)
+    reward_ak = -jnp.exp(cfg.k_ak * (abs_psi - np.pi))
+    if ye_int_mode:
+        reward_ye = jnp.exp(-cfg.k_ye * ye_abs)
+        return reward_action + jnp.where(
+            abs_psi < np.pi / 2, reward_ye, reward_ak
+        )
     reward_ye = jnp.where(
         ye_abs > cfg.sigma_ye,
         jnp.exp(-cfg.k_ye * ye_abs),
         jnp.exp(-cfg.k_ye * ye_abs ** 2 / cfg.sigma_ye),
     )
-    reward_ak = -jnp.exp(cfg.k_ak * (abs_psi - np.pi))
     return jnp.where(abs_psi < np.pi / 2, reward_action + reward_ye, reward_ak)
 
 
@@ -285,7 +298,7 @@ def _legacy_step(cfg, state: LegacyState, action, law, done_fn, ye_int_mode=Fals
     else:
         ye_obs = ye
 
-    reward = _reward(cfg, ye_abs, psi_ak, c["action_dot"])
+    reward = _reward(cfg, ye_abs, psi_ak, c["action_dot"], ye_int_mode)
     done = done_fn(cfg, ye_abs, dyn.pose)
     reward = jnp.where(done, -1.0, reward)
 
