@@ -93,11 +93,19 @@ def _install_stub_packages():
         pkg.__path__ = [str(_REF / rel)]
         sys.modules[name] = pkg
 
+    import math
+
+    if not hasattr(np, "math"):
+        np.math = math  # numpy<2 alias the reference controllers rely on
+
     # Submodules now resolve through the synthetic __path__ without the
     # real __init__ side effects (gymnasium registration, C++ imports).
     import gym_usv.control.usv_pid as ref_pid  # noqa: F401  (ca_env needs it)
 
     sys.modules["gym_usv.control"].UsvPID = ref_pid.UsvPID
+    import gym_usv.control.usv_asmc as ref_asmc
+
+    sys.modules["gym_usv.control"].UsvAsmc = ref_asmc.UsvAsmc
     import gym_usv.envs.usv_asmc_ca_env as ref_ca
 
     sys.modules["gym_usv.envs"].UsvAsmcCaEnv = ref_ca.UsvAsmcCaEnv
@@ -115,9 +123,9 @@ def _reference_env(seed):
     return env
 
 
-def _inject_state(handle, ref):
-    """Copy the reference env's post-reset scene into our functional state."""
-    cfg = handle.cfg
+def _base_overrides(cfg, ref):
+    """Field overrides mapping the reference env's post-reset scene onto our
+    ``SimpleEnvState`` (shared by the plain and the ASMC-variant tests)."""
     cap = cfg.obstacle_cap
     n = int(ref.obstacle_n)
     assert n <= cap, f"reference sampled {n} obstacles > cap {cap}"
@@ -128,8 +136,7 @@ def _inject_state(handle, ref):
     obs_r[:n] = np.asarray(ref.obstacle_radius, np.float32)
     mask[:n] = True
 
-    state = handle.reset(cfg, jax.random.key(0))
-    return state.replace(
+    return dict(
         position=jnp.asarray(ref.position, jnp.float32),
         velocity=jnp.asarray(ref.velocity, jnp.float32),
         last_action=jnp.asarray(ref.last_action, jnp.float32),
@@ -168,7 +175,9 @@ def _run_parity(seed, n_steps, obstacle_override=None,
 
     handle = make("usv-simple")
     step = jax.jit(lambda s, a: handle.step(handle.cfg, s, a))
-    state = _inject_state(handle, ref)
+    state = handle.reset(handle.cfg, jax.random.key(0)).replace(
+        **_base_overrides(handle.cfg, ref)
+    )
 
     actions = _action_sequence(n_steps)
     max_obs_err = max_rew_err = 0.0
@@ -218,3 +227,39 @@ def test_simple_env_trajectory_parity_sensor_active():
     ref.obstacle_n = 16
     _, _, _, _, _ = ref.step(np.array([0.5, 0.0], np.float32))
     assert np.min(ref.sensor_data[:, 1]) < ref.sensor_max_range
+
+
+def test_simple_asmc_env_trajectory_parity():
+    """``usv-asmc-simple`` vs the reference ``UsvSimpleASMCEnv`` code: the
+    2x10-substep pure-Python ASMC + Fossen dynamics inner loop AND the base
+    env's kinematic double-integration quirk, through 100 shared setpoint
+    actions."""
+    _install_stub_packages()
+    from gym_usv.envs.simple_env_asmc import UsvSimpleASMCEnv
+
+    ref = UsvSimpleASMCEnv(render_mode="rgb_array")
+    ref.reset(seed=21)
+
+    handle = make("usv-asmc-simple")
+    assert handle.cfg.double_integrate_compat
+    step = jax.jit(lambda s, a: handle.step(handle.cfg, s, a))
+    state = handle.reset(handle.cfg, jax.random.key(0))
+    state = state.replace(base=state.base.replace(
+        **_base_overrides(handle.cfg, ref)
+    ))
+
+    actions = _action_sequence(100)
+    max_obs_err = max_rew_err = 0.0
+    for i in range(100):
+        ref_obs, ref_rew, ref_term, ref_trunc, _ = ref.step(actions[i])
+        state, ts = step(state, jnp.asarray(actions[i]))
+        obs_err = float(np.max(np.abs(np.asarray(ts.obs) - ref_obs)))
+        rew_err = abs(float(ts.reward) - float(ref_rew))
+        max_obs_err = max(max_obs_err, obs_err)
+        max_rew_err = max(max_rew_err, rew_err)
+        assert obs_err < 1e-3, f"step {i}: obs err {obs_err}"
+        assert rew_err < 1e-3, f"step {i}: reward err {rew_err}"
+        assert bool(ts.terminated) == bool(ref_term), f"step {i}: terminated"
+        assert bool(ts.truncated) == bool(ref_trunc), f"step {i}: truncated"
+        if ref_term or ref_trunc:
+            break
