@@ -36,6 +36,22 @@ def test_interpret_matches_xla(first_hit):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+@pytest.mark.parametrize("first_hit", [True, False])
+@pytest.mark.parametrize("n_acc", [2, 3, 4])
+def test_multi_accumulator_matches_single_chain(first_hit, n_acc):
+    """The stride-interleaved accumulator split (an ILP experiment; measured
+    slower on v5e, kept as an option) must be semantics-preserving."""
+    pos, oxy, orr, mask = _scene(seed=3)
+    base = raycast_pallas_batched(
+        pos, oxy, orr, mask, 64, 100.0, first_hit=first_hit, interpret=True
+    )
+    got = raycast_pallas_batched(
+        pos, oxy, orr, mask, 64, 100.0, first_hit=first_hit,
+        interpret=True, n_acc=n_acc,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-6)
+
+
 def test_interpret_handles_nonmultiple_batch():
     pos, oxy, orr, mask = _scene(B=7)
     got = raycast_pallas_batched(
