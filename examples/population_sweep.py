@@ -130,6 +130,14 @@ def main():
         from usv_tpu.train.policy import export_policy
 
         i = int(best_eval.argmax())
+        if best_params[i] is None:
+            # no seed ever recorded a finite eval (diverged to NaN, or a
+            # zero-round run) — don't substitute None into the train state
+            print(
+                "no finite eval recorded on any seed; skipping --export-best",
+                flush=True,
+            )
+            return
         if args.algo == "sac":
             one = ts.replace(actor_params=best_params[i])
         else:

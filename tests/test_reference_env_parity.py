@@ -48,9 +48,17 @@ pytestmark = pytest.mark.skipif(
 
 
 def _install_stub_packages():
-    """Synthetic gym_usv packages + numba/usv_libs_py stubs (idempotent)."""
-    if "gym_usv" in sys.modules:
-        return
+    """Synthetic gym_usv packages + numba/usv_libs_py stubs (idempotent).
+
+    Guarded piecewise, NOT by a single ``"gym_usv" in sys.modules`` check:
+    tests/test_reference_legacy_parity.py installs its own (smaller)
+    ``gym_usv``/``gym_usv.envs`` stub packages, and if that file runs first
+    in the same process an umbrella early-return would skip the numba stub
+    and the ``UsvAsmcCaEnv`` attribute this file needs (the default
+    alphabetical collection order would mask it; ``-k`` selections or
+    randomized ordering would not)."""
+    if getattr(sys.modules.get("gym_usv.envs"), "UsvSimpleEnv", None):
+        return  # this installer already completed
     if "numba" not in sys.modules:
         numba = types.ModuleType("numba")
 
@@ -89,6 +97,8 @@ def _install_stub_packages():
         ("gym_usv.control", "gym_usv/control"),
         ("gym_usv.utils", "gym_usv/utils"),
     ):
+        if name in sys.modules:  # reuse the legacy-parity file's packages
+            continue
         pkg = types.ModuleType(name)
         pkg.__path__ = [str(_REF / rel)]
         sys.modules[name] = pkg

@@ -104,7 +104,11 @@ def bench_policy(policy, batch_sizes=(1, 256, 4096), chain: int = 512,
             best = min(best, time.perf_counter() - t0)
         actions_s = bs * chain / best
 
-        # per-dispatch latency: single jitted call, scalar-fetch synced
+        # per-dispatch latency: single jitted call, scalar-fetch synced.
+        # Warm up first: `act` was only ever traced INSIDE the chained
+        # program above, so the first direct call compiles a fresh
+        # executable (seconds over the tunnel) and would corrupt p50/p95.
+        float(act(policy.params, obs0)[0, 0])
         lat = []
         for _ in range(latency_calls):
             t0 = time.perf_counter()

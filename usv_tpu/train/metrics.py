@@ -60,3 +60,25 @@ class MetricLogger:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def score_eval_stats(stats: dict, best_metric: str = "reward"):
+    """Derive eval metrics + the model-selection score from
+    ``eval_policy_stats`` output (shared by the SAC and PPO train CLIs so
+    the --best-metric semantics cannot drift between them).
+
+    Returns ``(metrics, score)``: ``metrics`` holds ``eval_reward_per_step``
+    plus ``eval_arrival_rate``/``eval_collision_rate`` when the env reports
+    outcome events; ``score`` is what best-policy export compares
+    (``reward_per_step``, or the arrival rate for ``best_metric="arrivals"``).
+    """
+    metrics = {"eval_reward_per_step": stats["reward_per_step"]}
+    score = stats["reward_per_step"]
+    if "arriveds" in stats:
+        episodes = max(stats["episodes"], 1.0)
+        metrics["eval_arrival_rate"] = stats["arriveds"] / episodes
+        # an env may report arrivals without collisions — don't KeyError
+        metrics["eval_collision_rate"] = stats.get("collisions", 0.0) / episodes
+        if best_metric == "arrivals":
+            score = metrics["eval_arrival_rate"]
+    return metrics, score

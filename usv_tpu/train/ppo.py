@@ -304,10 +304,6 @@ class PpoLearner:
         returns mean reward per step — the same protocol as
         ``SacLearner.eval_policy``, so SAC/PPO numbers are comparable. The
         jitted rollout is cached per (n_steps, num_envs)."""
-        if (n_steps, num_envs) not in self._jit_eval:
-            self._jit_eval[(n_steps, num_envs)] = self._build_eval(
-                n_steps, num_envs
-            )
         return self.eval_policy_stats(ts, n_steps, num_envs)["reward_per_step"]
 
     def eval_policy_stats(self, ts: PpoTrainState, n_steps: int = 500,

@@ -76,7 +76,7 @@ def main(argv=None):
 
     from usv_tpu.envs import make
     from usv_tpu.train.checkpoint import save_checkpoint
-    from usv_tpu.train.metrics import MetricLogger
+    from usv_tpu.train.metrics import MetricLogger, score_eval_stats
     from usv_tpu.train.sac import SacConfig, SacLearner
 
     env_kwargs = {}
@@ -143,15 +143,8 @@ def main(argv=None):
             stats = learner.eval_policy_stats(
                 ts, n_steps=args.eval_steps, num_envs=args.eval_envs
             )
-            ev = stats["reward_per_step"]
-            metrics["eval_reward_per_step"] = ev
-            score = ev
-            if "arriveds" in stats:
-                eps = max(stats["episodes"], 1.0)
-                metrics["eval_arrival_rate"] = stats["arriveds"] / eps
-                metrics["eval_collision_rate"] = stats["collisions"] / eps
-                if args.best_metric == "arrivals":
-                    score = metrics["eval_arrival_rate"]
+            eval_metrics, score = score_eval_stats(stats, args.best_metric)
+            metrics.update(eval_metrics)
             if score > best_eval:
                 best_eval = score
                 export_policy(learner, ts, f"{args.logdir}/policy_best")
