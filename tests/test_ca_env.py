@@ -76,3 +76,47 @@ def test_registry_and_vmap():
     actions = jnp.zeros((B, 2))
     states, ts = jax.jit(jax.vmap(lambda s, a: h.step(h.cfg, s, a)))(states, actions)
     assert ts.obs.shape == (B, 23)
+
+
+def test_debug_history_substep_arrays():
+    """debug_history=True exposes the reference's per-substep
+    controller/model history (usv_asmc_ca_env.py:312-323) as fixed-shape
+    (n_substeps, ...) arrays whose last entries agree with the flat info
+    and the post-step state."""
+    h = make("usv-asmc-ca-v0", debug_history=True)
+    state = h.reset(h.cfg, jax.random.key(0))
+    state, ts = jax.jit(lambda s, a: h.step(h.cfg, s, a))(
+        state, jnp.array([0.5, 0.1])
+    )
+    ch = ts.info["controller_history"]
+    mh = ts.info["model_history"]
+    n = h.cfg.n_substeps
+    for k in ("left_thruster", "right_thruster", "speed_error",
+              "heading_error", "speed_gain", "heading_gain",
+              "speed_sigma", "heading_sigma", "Tx", "Tz"):
+        assert ch[k].shape == (n,), k
+    assert mh["pose"].shape == (n, 3)
+    assert mh["vel"].shape == (n, 3)
+    # last substep agrees with the flat info and the integrated state
+    np.testing.assert_allclose(
+        ch["left_thruster"][-1], ts.info["left_thruster"]
+    )
+    np.testing.assert_allclose(mh["pose"][-1], state.dyn.pose, rtol=1e-6)
+    np.testing.assert_allclose(mh["vel"][-1], state.dyn.vel, rtol=1e-6)
+    # default config stays history-free (hot path unchanged)
+    h2 = make("usv-asmc-ca-v0")
+    _, ts2 = jax.jit(lambda s, a: h2.step(h2.cfg, s, a))(
+        h2.reset(h2.cfg, jax.random.key(0)), jnp.array([0.5, 0.1])
+    )
+    assert "controller_history" not in ts2.info
+
+
+def test_debug_history_through_gym_adapter():
+    from usv_tpu.compat import UsvAsmcCaEnv
+
+    env = UsvAsmcCaEnv(render_mode=None, debug_history=True)
+    env.reset(seed=0)
+    _, _, _, _, info = env.step(np.array([0.3, 0.0], np.float32))
+    assert info["controller_history"]["Tz"].shape == (env.handle.cfg.n_substeps,)
+    assert info["model_history"]["pose"].shape == (env.handle.cfg.n_substeps, 3)
+    env.close()

@@ -33,6 +33,26 @@ def test_gym_make_simple():
     env.close()
 
 
+def test_reset_info_matches_reference_surface():
+    """Reference reset returns ``_get_info(-1, np.zeros(3))``
+    (simple_env.py:303-308): same keys as step info, reward=-1, zero action."""
+    env = UsvSimpleEnv(render_mode=None)
+    obs, info = env.reset(seed=3)
+    for key in ("position", "velocity", "path_start", "path_end", "reward",
+                "action0", "action1", "left_thruster", "right_thruster",
+                "ye", "angle_to_target"):
+        assert key in info, key
+    assert float(info["reward"]) == -1.0
+    assert float(info["action0"]) == 0.0
+    assert float(info["action1"]) == 0.0
+    # info reflects the post-reset state
+    np.testing.assert_allclose(
+        np.asarray(info["position"])[:2], np.asarray(info["path_start"]),
+        atol=1e-5,
+    )
+    env.close()
+
+
 def test_gym_time_limit_wrapping():
     env = gymnasium.make("usv-simple")  # max_episode_steps=500
     assert env.spec.max_episode_steps == 500

@@ -106,3 +106,241 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip NUMERICAL equivalence: the sharded program must compute the same
+# training trajectory as the unsharded one, not merely execute (VERDICT r1 #1).
+# ---------------------------------------------------------------------------
+
+
+def _allclose_tree(a, b, rtol=1e-4, atol=1e-5):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=rtol, atol=atol
+        )
+
+
+def test_sharded_sac_training_matches_unsharded():
+    """2 full SAC rounds (collect + buffer insert + critic/actor/alpha
+    updates + target soft-update) from the same seed: 8-device sharded vs
+    unsharded parameters and rewards must agree (same program, same PRNG
+    stream — only the FP reduction order may differ)."""
+    cfg = SacConfig(
+        num_envs=16, buffer_size=512, batch_size=32, learning_starts=0,
+        train_freq=2, gradient_steps=2, hidden=(32, 32), frame_stack=2,
+    )
+    learner = SacLearner(make("usv-simple"), cfg)
+
+    ts_plain, r_plain = learner.train_rounds(learner.init(seed=0), 2)
+
+    mesh = make_env_mesh()
+    ts_shard = shard_sac_train_state(learner.init(seed=0), mesh)
+    ts_shard, r_shard = learner.train_rounds(ts_shard, 2)
+
+    assert int(ts_plain.grad_steps) == int(ts_shard.grad_steps) == 4
+    np.testing.assert_allclose(
+        float(r_plain), float(r_shard), rtol=1e-5, atol=1e-5
+    )
+    _allclose_tree(ts_plain.actor_params, ts_shard.actor_params)
+    _allclose_tree(ts_plain.critic_params, ts_shard.critic_params)
+    _allclose_tree(ts_plain.target_critic_params, ts_shard.target_critic_params)
+    np.testing.assert_allclose(
+        float(ts_plain.log_alpha), float(ts_shard.log_alpha),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_sharded_ppo_iteration_matches_unsharded():
+    """One full PPO iteration (rollout + GAE + epochs of minibatch updates)
+    sharded vs unsharded from the same seed: params allclose."""
+    cfg = PpoConfig(
+        n_steps=32, batch_size=32, n_epochs=2, num_envs=16,
+        pi_hidden=(32, 32), vf_hidden=(32, 32), frame_stack=2,
+    )
+    learner = PpoLearner(make("usv-simple"), cfg)
+
+    ts_plain, r_plain = learner.train_iteration(learner.init(seed=0))
+
+    mesh = make_env_mesh()
+    ts_shard = shard_ppo_train_state(learner.init(seed=0), mesh)
+    ts_shard, r_shard = learner.train_iteration(ts_shard)
+
+    np.testing.assert_allclose(
+        float(r_plain), float(r_shard), rtol=1e-4, atol=1e-5
+    )
+    _allclose_tree(ts_plain.params, ts_shard.params)
+
+
+# ---------------------------------------------------------------------------
+# Shard-local replay (docs/SCALING.md): per-shard insert/sample keeps replay
+# traffic chip-local; the only steady-state collective is the gradient psum.
+# ---------------------------------------------------------------------------
+
+
+def _local_learner(mesh, **kw):
+    cfg = SacConfig(
+        num_envs=16, buffer_size=512, batch_size=32, learning_starts=0,
+        train_freq=2, gradient_steps=2, hidden=(32, 32), frame_stack=2,
+        shard_local_replay=True, **kw,
+    )
+    return SacLearner(make("usv-simple"), cfg, mesh=mesh)
+
+
+def test_shard_local_insert_keeps_rows_on_their_shard():
+    """After a local insert, shard d's capacity block holds exactly shard d's
+    envs' transitions in step-major order."""
+    from usv_tpu.train.buffer import buffer_add_traj_local, buffer_init
+
+    mesh = make_env_mesh()
+    n = 8
+    T, B, cap, dim = 2, 16, 64, 3
+    local_b, local_cap = B // n, cap // n
+    obs = jnp.arange(T * B * dim, dtype=jnp.float32).reshape(T, B, dim)
+    traj = dict(
+        obs=obs,
+        action=jnp.zeros((T, B, 2)),
+        reward=jnp.zeros((T, B)),
+        next_obs=obs,
+        done=jnp.zeros((T, B)),
+    )
+    buf = buffer_init(cap, dim, 2)
+    buf = buffer_add_traj_local(buf, traj, mesh)
+    assert int(buf.size) == T * local_b  # LOCAL rows
+    got = np.asarray(buf.obs)
+    want = np.asarray(obs)
+    for d in range(n):
+        for t in range(T):
+            for b in range(local_b):
+                np.testing.assert_array_equal(
+                    got[d * local_cap + t * local_b + b],
+                    want[t, d * local_b + b],
+                )
+
+
+def test_shard_local_sampling_is_uniform_over_shards_and_rows():
+    """Stratified-local sampling: every batch takes batch/n rows from each
+    shard, and within a shard rows are uniform over the local fill."""
+    from usv_tpu.train.buffer import buffer_add_traj_local, buffer_init, \
+        buffer_sample_local
+
+    mesh = make_env_mesh()
+    n, cap, dim = 8, 256, 1
+    # fill the whole buffer with row-id observations via local inserts
+    buf = buffer_init(cap, dim, 1)
+    T, B = 2, 16
+    rows_per_insert = T * B // n
+    for i in range(cap // n // rows_per_insert):
+        base = jnp.arange(T * B, dtype=jnp.float32) + i * T * B
+        traj = dict(
+            obs=base.reshape(T, B, 1),
+            action=jnp.zeros((T, B, 1)),
+            reward=jnp.zeros((T, B)),
+            next_obs=jnp.zeros((T, B, 1)),
+            done=jnp.zeros((T, B)),
+        )
+        buf = buffer_add_traj_local(buf, traj, mesh)
+    assert int(buf.size) == cap // n  # locally full
+
+    batch_size = 64
+    local_cap = cap // n
+    counts = np.zeros(cap)
+    sample = jax.jit(
+        lambda k: buffer_sample_local(buf, k, batch_size, mesh)["obs"]
+    )
+    n_draws = 200
+    for s in range(n_draws):
+        got = np.asarray(sample(jax.random.key(s)))
+        assert got.shape == (batch_size, 1)
+        # recover which global row each sampled value lives in
+        for v in got[:, 0]:
+            t, b = divmod(int(v), B)
+            t_outer, t_inner = divmod(t, T)
+            d, b_local = divmod(b, B // n)
+            row = d * local_cap + t_outer * rows_per_insert \
+                + t_inner * (B // n) + b_local
+            counts[row] += 1
+    shard_counts = counts.reshape(n, local_cap).sum(axis=1)
+    # exact stratification: every shard contributes batch/n rows per draw
+    np.testing.assert_array_equal(
+        shard_counts, np.full(n, n_draws * batch_size // n)
+    )
+    # within-shard uniformity: loose chi-square-style bound
+    expected = n_draws * batch_size / cap
+    assert counts.min() > 0.3 * expected
+    assert counts.max() < 3.0 * expected
+
+
+def _collective_bytes(txt):
+    """Total bytes moved by collectives in a compiled HLO text (sum of the
+    f32 element counts in all-reduce/all-gather/all-to-all result shapes)."""
+    import re
+
+    total = 0
+    for line in txt.splitlines():
+        # result shape may be a bare shape or a tuple "(f32[...], ...)"
+        m = re.search(
+            r"=\s*(.+?)\s+all-(?:reduce|gather|to-all)(?:-start)?\(", line
+        )
+        if not m:
+            continue
+        for s in re.findall(r"f32\[([\d,]*)\]", m.group(1)):
+            n = 1
+            for d in filter(None, s.split(",")):
+                n *= int(d)
+            total += 4 * n
+    return total
+
+
+def test_shard_local_update_replay_traffic_is_batch_independent():
+    """VERDICT r1 next-#2 'done' criterion, asserted on the compiled HLO:
+    with GLOBAL sampling the update's collective traffic carries the sampled
+    replay rows (grows ~linearly with batch size); with SHARD-LOCAL sampling
+    the only collectives are gradient reductions, whose bytes are constant
+    in batch size. (The SPMD partitioner may emit the cross-shard row fetch
+    as an all-gather OR as a masked-gather + all-reduce — measuring bytes is
+    robust to that choice.)"""
+    mesh = make_env_mesh()
+
+    def lowered_bytes(shard_local, batch_size):
+        cfg = SacConfig(
+            num_envs=16, buffer_size=512, batch_size=batch_size,
+            learning_starts=0, train_freq=2, gradient_steps=2,
+            hidden=(32, 32), frame_stack=2, shard_local_replay=shard_local,
+        )
+        learner = SacLearner(
+            make("usv-simple"), cfg, mesh=mesh if shard_local else None
+        )
+        ts = shard_sac_train_state(learner.init(seed=0), mesh)
+        ts, _ = learner.train_rounds(ts, 1)  # fill enough to sample
+        fn = jax.jit(lambda t, k: learner._update_once(t, k))
+        txt = fn.lower(ts, jax.random.key(0)).compile().as_text()
+        assert "all-gather" not in txt or not shard_local
+        assert "all-to-all" not in txt or not shard_local
+        return _collective_bytes(txt)
+
+    g32, g256 = lowered_bytes(False, 32), lowered_bytes(False, 256)
+    l32, l256 = lowered_bytes(True, 32), lowered_bytes(True, 256)
+
+    # positive control: global replay traffic scales with the batch
+    assert g256 > 4 * g32, (g32, g256)
+    # shard-local: collective bytes are batch-size independent (gradients
+    # only) and gradients ARE still synchronized
+    assert l32 > 0
+    assert l256 == l32, (l32, l256)
+    # and strictly less traffic than global at production-like batch widths
+    assert l256 < g256
+
+
+def test_shard_local_sac_trains():
+    """End-to-end shard-local SAC: 4 rounds run, counters advance, params
+    stay finite, and the local buffer size reflects local rows only."""
+    mesh = make_env_mesh()
+    learner = _local_learner(mesh)
+    ts = shard_sac_train_state(learner.init(seed=0), mesh)
+    ts, reward = learner.train_rounds(ts, 4)
+    assert np.isfinite(float(reward))
+    assert int(ts.grad_steps) == 8
+    assert int(ts.buffer.size) == 4 * 2 * 16 // 8  # rounds*T*B / n shards
+    for leaf in jax.tree.leaves(ts.actor_params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))

@@ -1,0 +1,138 @@
+"""EXACT-SEED episode parity vs the reference (VERDICT r1 next-#4).
+
+The other parity files inject a reference-sampled scene; this one closes
+the last gap by starting from a SEED alone: the adapters'
+``reference_reset_sampling=True`` mode replays the reference's reset RNG
+(usv_tpu/compat/seed_replay.py) so that
+
+    reference: env.reset(seed=s)            (simple_env.py:228-308)
+    ours:      Adapter(reference_reset_sampling=True).reset(seed=s)
+
+produce the SAME scene, and the full episode then matches step for step
+(obs/reward <= 1e-4 over >= 100 steps — BASELINE.md exact-seed protocol).
+Legacy trio protocol: ``np.random.seed(s); env.reset()``
+(usv_asmc_env.py:260-279 draws from the global stream).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from test_reference_env_parity import (
+    _action_sequence,
+    _install_stub_packages,
+)
+from test_reference_legacy_parity import (
+    _REF_MODULES,
+    _reference_env as _legacy_reference_env,
+)
+
+pytestmark = pytest.mark.skipif(
+    not Path("/root/reference").exists(),
+    reason="reference checkout not available",
+)
+
+
+def _reference_simple(seed):
+    _install_stub_packages()
+    from gym_usv.envs.simple_env import UsvSimpleEnv
+
+    env = UsvSimpleEnv(render_mode="rgb_array")
+    obs, info = env.reset(seed=seed)
+    return env, obs
+
+
+@pytest.mark.parametrize("seed", [5, 11, 2024])
+def test_simple_seed_scene_replay_matches_reference(seed):
+    """The host-side RNG replay reproduces the reference's sampled scene
+    field by field (position, path, limits, obstacles)."""
+    from usv_tpu.envs import make
+    from usv_tpu.compat.seed_replay import simple_scene_from_seed
+
+    ref, _ = _reference_simple(seed)
+    cfg = make("usv-simple").cfg
+    ov = simple_scene_from_seed(cfg, seed)
+
+    np.testing.assert_allclose(ov["position"], ref.position, atol=1e-6)
+    np.testing.assert_allclose(ov["path_start"], ref.path_start, atol=1e-6)
+    np.testing.assert_allclose(ov["path_end"], ref.path_end, atol=1e-5)
+    np.testing.assert_allclose(
+        ov["target_position"], ref.target_position, atol=1e-6
+    )
+    np.testing.assert_allclose(ov["velocity"], ref.velocity, atol=1e-6)
+    np.testing.assert_allclose(ov["max_action"], ref.max_action, atol=1e-6)
+    np.testing.assert_allclose(
+        float(ov["reference_velocity"]), float(ref.reference_velocity),
+        atol=1e-6,
+    )
+    n = int(ref.obstacle_n)
+    assert int(np.sum(ov["obs_mask"])) == n
+    np.testing.assert_allclose(
+        ov["obs_xy"][:n], ref.obstacle_positions, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        ov["obs_r"][:n], ref.obstacle_radius, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_simple_full_episode_parity_from_seed(seed):
+    """seed -> reset -> 120 shared steps: obs/reward/flags match end to end
+    through the public adapter API."""
+    from usv_tpu.compat import UsvSimpleEnv
+
+    ref, ref_obs0 = _reference_simple(seed)
+    ours = UsvSimpleEnv(render_mode=None, reference_reset_sampling=True)
+    obs0, info0 = ours.reset(seed=seed)
+    np.testing.assert_allclose(obs0, ref_obs0, atol=1e-5)
+    # reset info parity too (reference returns _get_info(-1, zeros), :303)
+    assert float(info0["reward"]) == -1.0
+
+    actions = _action_sequence(120)
+    for i in range(120):
+        ref_obs, ref_rew, ref_term, ref_trunc, _ = ref.step(actions[i])
+        obs, rew, term, trunc, _ = ours.step(actions[i])
+        np.testing.assert_allclose(
+            obs, ref_obs, atol=1e-4, err_msg=f"step {i}"
+        )
+        assert abs(rew - float(ref_rew)) < 1e-4, f"step {i}"
+        assert term == bool(ref_term) and trunc == bool(ref_trunc), f"step {i}"
+        if term or trunc:
+            break
+    ours.close()
+
+
+@pytest.mark.parametrize("env_id", sorted(_REF_MODULES))
+def test_legacy_full_episode_parity_from_seed(env_id):
+    """Legacy trio: np.random.seed(s); reset() on the reference vs our
+    adapter's reference_reset_sampling reset(seed=s) — 100 shared steps."""
+    from usv_tpu.compat import UsvAsmcEnv, UsvAsmcYeIntEnv, UsvPidEnv
+
+    adapters = {
+        "usv-asmc-v0": UsvAsmcEnv,
+        "usv-pid-v0": UsvPidEnv,
+        "usv-asmc-ye-int-v0": UsvAsmcYeIntEnv,
+    }
+    seed = 37
+    ref = _legacy_reference_env(env_id, seed)  # seeds global np.random inside
+    ours = adapters[env_id](render_mode=None, reference_reset_sampling=True)
+    obs0 = ours.reset(seed=seed)  # legacy API: obs only
+    np.testing.assert_allclose(obs0, ref.state.astype(np.float32), atol=1e-5)
+
+    t = np.arange(100)
+    actions = (0.3 * np.sin(0.05 * t) + 0.2 * np.sin(0.013 * t + 0.7)).astype(
+        np.float32
+    )
+    for i in range(100):
+        ref_obs, ref_rew, ref_done, _ = ref.step(float(actions[i]))
+        obs, rew, done, _ = ours.step(np.float32(actions[i]))
+        np.testing.assert_allclose(
+            obs, ref_obs, atol=1e-4, err_msg=f"{env_id} step {i}"
+        )
+        assert abs(rew - float(ref_rew)) < 1e-4, f"{env_id} step {i}"
+        assert done == bool(ref_done), f"{env_id} step {i}"
+        if done:
+            break

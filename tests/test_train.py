@@ -166,6 +166,22 @@ def test_ppo_iteration_runs():
     assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_ppo_update_fusion_runs_and_matches_data_ratio():
+    """update_fusion=k folds k minibatches into one optimizer step on a
+    k*batch row batch: per epoch the whole rollout is still consumed once
+    (same data:update FLOP ratio), with 1/k the optimizer steps. k=1 and
+    k=4 both train finitely from the same seed; k = n_total/batch collapses
+    each epoch into one full-batch step."""
+    h = make("usv-simple")
+    for fusion in (4, 64 * 4 // 32):  # 4-way and full-epoch fusion
+        cfg = dataclasses.replace(SMALL_PPO, update_fusion=fusion)
+        learner = PpoLearner(h, cfg)
+        ts, r = learner.train_iteration(learner.init(seed=0))
+        assert np.isfinite(float(r))
+        for leaf in jax.tree.leaves(ts.params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_eval_policy_stats_outcome_counts():
     """eval_policy_stats reports outcome counts; envs that expose
     arrived/collision (the CA env) get task-metric keys for model

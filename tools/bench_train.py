@@ -24,7 +24,11 @@ import json
 import time
 
 MODES = {
+    # NOTE: since the use_sde default flipped to True (reference config_sac
+    # parity), "default" includes gSDE collection; "nosde" is the previous
+    # rounds' baseline for historical comparison.
     "default": dict(),
+    "nosde": dict(use_sde=False),
     "bf16": dict(compute_dtype="bfloat16"),
     "fused": dict(fused_updates=True),
     "fused_bf16": dict(fused_updates=True, compute_dtype="bfloat16"),
@@ -33,30 +37,59 @@ MODES = {
 
 
 def bench_ppo(args):
+    """PPO throughput across (batch_size, update_fusion) settings, with a
+    rollout/update phase attribution (docs/PERFORMANCE.md PPO study): the
+    rollout phase is timed separately via a collect-only program, so
+    update-phase ms = iteration ms - rollout ms."""
+    import jax
+
     from usv_tpu.envs import make
     from usv_tpu.train.ppo import PpoConfig, PpoLearner
 
     handle = make(args.env)
-    for bs in args.ppo_batch_sizes:
-        cfg = PpoConfig(num_envs=args.envs, batch_size=bs)
-        learner = PpoLearner(handle, cfg)
-        ts = learner.init(seed=0)
-        ts, _ = learner.train_iteration(ts)       # compile + warm up
-        float(ts.update_count)
-        steps_per_iter = cfg.n_steps * cfg.num_envs
+
+    def timed(fn, *a):
+        out = fn(*a)
+        jax.tree.leaves(out)
+        float(jax.tree.leaves(out)[0].ravel()[0])  # sync
         t0 = time.time()
-        ts, _ = learner.train_iteration(ts)
-        float(ts.update_count)
-        dt = time.time() - t0
-        print(json.dumps({
-            "algo": "ppo",
-            "env": args.env,
-            "num_envs": args.envs,
-            "batch_size": bs,
-            "sequential_updates_per_iter":
-                cfg.n_epochs * (steps_per_iter // bs),
-            "steps_per_second": round(steps_per_iter / dt, 1),
-        }), flush=True)
+        out = fn(*a)
+        float(jax.tree.leaves(out)[0].ravel()[0])
+        return out, time.time() - t0
+
+    for bs in args.ppo_batch_sizes:
+        for fusion in args.ppo_fusions:
+            cfg = PpoConfig(num_envs=args.envs, batch_size=bs,
+                            update_fusion=fusion)
+            learner = PpoLearner(handle, cfg)
+            ts = learner.init(seed=0)
+            steps_per_iter = cfg.n_steps * cfg.num_envs
+
+            # phase attribution: collect-only program
+            collect = jax.jit(
+                lambda t, k: learner._collect(t, k)[1]["raw_reward"]
+            )
+            _, dt_collect = timed(collect, ts, jax.random.key(0))
+
+            ts, _ = learner.train_iteration(ts)   # compile + warm up
+            float(ts.update_count)
+            t0 = time.time()
+            ts, _ = learner.train_iteration(ts)
+            float(ts.update_count)
+            dt = time.time() - t0
+            print(json.dumps({
+                "algo": "ppo",
+                "env": args.env,
+                "num_envs": args.envs,
+                "batch_size": bs,
+                "update_fusion": fusion,
+                "optimizer_steps_per_iter":
+                    cfg.n_epochs * (steps_per_iter // (bs * fusion)),
+                "iter_ms": round(1e3 * dt, 1),
+                "rollout_ms": round(1e3 * dt_collect, 1),
+                "update_ms": round(1e3 * (dt - dt_collect), 1),
+                "steps_per_second": round(steps_per_iter / dt, 1),
+            }), flush=True)
 
 
 def main():
@@ -72,6 +105,9 @@ def main():
     p.add_argument("--modes", nargs="*", default=list(MODES))
     p.add_argument("--ppo-batch-sizes", type=int, nargs="*",
                    default=[64, 512, 2048])
+    p.add_argument("--ppo-fusions", type=int, nargs="*", default=[1],
+                   help="update_fusion values to sweep (k minibatches per "
+                        "optimizer step)")
     args = p.parse_args()
 
     import jax

@@ -48,9 +48,15 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
     legacy_api: bool = False  # old-gym 4-tuple step / obs-only reset
 
     def __init__(self, render_mode: Optional[str] = "rgb_array", options: Optional[dict] = None,
+                 reference_reset_sampling: bool = False,
                  **config_overrides):
         self.options = options or {}
         self.render_mode = render_mode
+        # exact-seed parity mode: reset(seed=s) replays the reference's
+        # NumPy reset draws for s on the host and injects the scene, so the
+        # episode matches the reference env bit-for-stream
+        # (usv_tpu/compat/seed_replay.py; simple family + legacy trio)
+        self.reference_reset_sampling = reference_reset_sampling
         self._config_overrides = dict(config_overrides)
         self._build(self._config_overrides)
         self._seed_counter = 0
@@ -82,6 +88,10 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
         self._jit_reset = jax.jit(lambda k: self.handle.reset(cfg, k))
         self._jit_reset_obs = jax.jit(lambda s: self.handle.reset_obs(cfg, s))
         self._jit_step = jax.jit(lambda s, a: self.handle.step(cfg, s, a))
+        self._jit_reset_info = (
+            jax.jit(lambda s: self.handle.reset_info(cfg, s))
+            if self.handle.reset_info is not None else None
+        )
 
     def _next_key(self, seed):
         if seed is None:
@@ -92,6 +102,31 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
     def _apply_reset_options(self, state, options):
         """Scripted-scene overrides; subclasses extend."""
         return state
+
+    def _apply_reference_seed(self, state, seed, options):
+        """Replay the reference's reset RNG for ``seed`` and inject the
+        scene (``reference_reset_sampling=True``; seed_replay.py)."""
+        from usv_tpu.compat import seed_replay
+
+        env_id = self.handle.env_id
+        if env_id in ("usv-simple", "usv-asmc-simple", "usv-aitsmc-simple"):
+            ov = seed_replay.simple_scene_from_seed(
+                self.handle.cfg, seed, options
+            )
+            state = seed_replay.apply_simple_overrides(state, ov)
+            if env_id == "usv-aitsmc-simple":
+                # the reference overwrites the sampled reference_velocity
+                # with 0.5 AFTER super().reset (simple_env_aitsmc.py:41)
+                state = state.replace(base=state.base.replace(
+                    reference_velocity=jnp.asarray(0.5, jnp.float32)
+                ))
+            return state
+        if env_id in seed_replay._LEGACY_RANGES:
+            pose, target = seed_replay.legacy_scene_from_seed(env_id, seed)
+            return seed_replay.apply_legacy_scene(state, pose, target)
+        raise NotImplementedError(
+            f"reference_reset_sampling not supported for {env_id}"
+        )
 
     # -- gym API --------------------------------------------------------
 
@@ -115,11 +150,22 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
                 self._path_obs_from_option = False
             self._build(self._config_overrides)
         self._state = self._jit_reset(self._next_key(seed))
+        if self.reference_reset_sampling and seed is not None:
+            self._state = self._apply_reference_seed(self._state, seed, merged)
         self._state = self._apply_reset_options(self._state, {**self.options, **options})
         obs = np.asarray(self._jit_reset_obs(self._state))
         if self.legacy_api:
             return obs
-        return obs, {}
+        # reference reset info where the family defines one
+        # (simple_env.py:303-308 returns _get_info(-1, zeros); the CA env
+        # returns {}, usv_asmc_ca_env.py:403)
+        info = {}
+        if self._jit_reset_info is not None:
+            info = {
+                k: np.asarray(v)
+                for k, v in self._jit_reset_info(self._state).items()
+            }
+        return obs, info
 
     def step(self, action):
         action = jnp.asarray(action, dtype=jnp.float32).reshape(
@@ -130,7 +176,13 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
         reward = float(ts.reward)
         terminated = bool(ts.terminated)
         truncated = bool(ts.truncated)
-        info = {k: np.asarray(v) for k, v in ts.info.items()}
+
+        def to_np(v):  # history entries are nested dicts of arrays
+            if isinstance(v, dict):
+                return {k: to_np(x) for k, x in v.items()}
+            return np.asarray(v)
+
+        info = {k: to_np(v) for k, v in ts.info.items()}
         if self.legacy_api:
             return obs, reward, terminated, info
         return obs, reward, terminated, truncated, info

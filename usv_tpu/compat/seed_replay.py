@@ -1,0 +1,190 @@
+"""Exact-seed reset parity: host-side replay of the reference's reset RNG.
+
+The device cores sample resets from ``jax.random`` streams — identical
+distributions to the reference but different bit streams, so a seed alone
+could not reproduce a reference episode. This module closes that gap: it
+replays the reference's *NumPy* draw sequence for a given seed on the host
+and returns the sampled scene as state-field overrides, giving true
+``seed -> full episode`` parity (BASELINE.md exact-seed protocol).
+
+Two reference RNG regimes exist:
+
+* ``UsvSimpleEnv.reset(seed)`` draws from gymnasium's ``np_random``
+  Generator seeded via ``super().reset(seed=seed)`` (simple_env.py:228-229);
+  replayed by :func:`simple_scene_from_seed` in the reference's exact draw
+  order (:233-295), including the two draws that are consumed and then
+  overwritten (:235-237).
+* the legacy trio draws from the GLOBAL legacy ``np.random`` state
+  (usv_asmc_env.py:260-279 etc.) and accepts no seed; the reproducible
+  protocol is ``np.random.seed(s); env.reset()``, replayed by
+  :func:`legacy_scene_from_seed` with a ``RandomState(s)`` (same MT19937).
+
+Used by ``tests/test_seed_parity.py`` (assert vs the reference's actual
+classes) and by the gymnasium adapters' ``reference_reset_sampling`` flag.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np_random(seed):
+    """gymnasium's seeding (PCG64(SeedSequence(seed))) without importing
+    gymnasium when it is absent."""
+    try:
+        from gymnasium.utils.seeding import np_random
+
+        rng, _ = np_random(seed)
+        return rng
+    except ImportError:  # pragma: no cover
+        return np.random.Generator(np.random.PCG64(np.random.SeedSequence(seed)))
+
+
+def simple_scene_from_seed(cfg, seed, options=None):
+    """Replay ``UsvSimpleEnv.reset(seed)`` (simple_env.py:228-308).
+
+    Returns a dict of ``SimpleEnvState`` field overrides (NumPy values)
+    representing the exact scene the reference would sample for ``seed`` on
+    a FRESH env (``last_action`` zeros, sensor data zeros — init state,
+    simple_env.py:41,:47).
+    """
+    options = options or {}
+    rng = _np_random(seed)
+    lo, hi = 0.0, float(cfg.env_bound)  # env_bounds = (0, 20), :56
+
+    # :233-234
+    path_start = rng.normal(scale=0.5, size=2) + np.array([hi, hi]) / 2
+    # :235-236 — drawn, then immediately overwritten by :237 (both draws
+    # consume the stream and must be replayed)
+    _ = np.hstack((rng.normal(path_start, scale=0.75), rng.uniform(-np.pi, np.pi)))
+    position = np.hstack((path_start, rng.uniform(-np.pi, np.pi)))  # :237
+
+    angle = rng.uniform(-np.pi, np.pi)          # :240
+    dist = rng.uniform(100, 110)                # :241
+    path_end = path_start + np.array([np.cos(angle), np.sin(angle)]) * dist
+
+    target_position = rng.uniform(lo, hi, size=2)   # :244
+    velocity = rng.uniform(0.0, 0.15, size=3)       # :245
+
+    max_action = rng.uniform(1.50, 3, size=3)       # :248
+    max_action[2] = rng.uniform(3, 6)               # :249
+    reference_velocity = rng.uniform(0.75, max_action[0])  # :250
+    max_acceleration = np.array([1.75, 0.0, 3.0])   # init :34, [1]=0 :252
+    max_action[1] = 0                               # :253
+
+    obstacle_n = int(rng.integers(15, 30))          # :256
+    obstacle_positions = rng.uniform(lo, hi, size=(obstacle_n, 2))  # :257
+
+    # delete obstacles near the start/target (:260-267)
+    d_pos = np.hypot(position[0] - obstacle_positions[:, 0],
+                     position[1] - obstacle_positions[:, 1])
+    d_tgt = np.hypot(target_position[0] - obstacle_positions[:, 0],
+                     target_position[1] - obstacle_positions[:, 1])
+    delete = np.hstack((np.flatnonzero(d_pos < 0.5), np.flatnonzero(d_tgt < 0.5)))
+    obstacle_positions = np.delete(obstacle_positions, delete, axis=0)
+    obstacle_n = obstacle_positions.shape[0]
+    if obstacle_n == 0:  # :270-274
+        obstacle_positions = rng.uniform(lo, hi, size=(1, 2))
+        obstacle_n = 1
+
+    n_path = int(options.get("place_obstacles_on_path") or 0)
+    if n_path:  # :276-288
+        mag = rng.uniform(0, np.hypot(hi, hi), n_path)
+        line_x = rng.normal(np.cos(angle) * mag + path_start[0], 1)
+        line_y = rng.normal(np.sin(angle) * mag + path_start[1], 1)
+        path_obstacles = np.hstack((line_x.reshape(-1, 1), line_y.reshape(-1, 1)))
+        obstacle_positions = np.concatenate((obstacle_positions, path_obstacles))
+        obstacle_n = obstacle_positions.shape[0]
+
+    obstacle_radius = rng.uniform(0.15, 0.5, size=obstacle_n)  # :290
+
+    cap = cfg.obstacle_cap
+    if obstacle_n > cap:
+        raise ValueError(
+            f"seed {seed} sampled {obstacle_n} obstacles > obstacle_cap "
+            f"{cap}; raise the cap to replay this seed"
+        )
+    obs_xy = np.zeros((cap, 2), np.float32)
+    obs_r = np.full((cap,), 0.1, np.float32)
+    mask = np.zeros((cap,), bool)
+    obs_xy[:obstacle_n] = obstacle_positions.astype(np.float32)
+    obs_r[:obstacle_n] = obstacle_radius.astype(np.float32)
+    mask[:obstacle_n] = True
+
+    return dict(
+        position=position.astype(np.float32),
+        velocity=velocity.astype(np.float32),
+        last_action=np.zeros(3, np.float32),          # fresh env, :41
+        path_start=path_start.astype(np.float32),
+        path_end=path_end.astype(np.float32),
+        progress=np.float32(0.0),                     # :246
+        target_position=target_position.astype(np.float32),
+        max_action=max_action.astype(np.float32),
+        max_acceleration=max_acceleration.astype(np.float32),
+        reference_velocity=np.float32(reference_velocity),
+        obs_xy=obs_xy,
+        obs_r=obs_r,
+        obs_mask=mask,
+        sensor_dist=np.zeros((cfg.sensor_count,), np.float32),
+        step_count=np.int32(0),
+    )
+
+
+# draw ranges per legacy family: (pos_range, speed_lo, speed_hi)
+# usv_asmc_env.py:260-279 / usv_pid_env.py / usv_asmc_ye_int_env.py:258-279
+_LEGACY_RANGES = {
+    "usv-asmc-v0": (2.5, 1.4, 2.4),
+    "usv-pid-v0": (2.5, 0.4, 1.4),
+    "usv-asmc-ye-int-v0": (5.0, 0.4, 1.4),
+}
+
+
+def legacy_scene_from_seed(env_id: str, seed):
+    """Replay ``np.random.seed(seed); env.reset()`` for a legacy env.
+
+    Returns ``(pose, target)``: pose = [x, y, psi] and
+    target = [x_0, y_0, desired_speed, ak, x_d, y_d] (usv_asmc_env.py:296).
+    """
+    pos_range, sp_lo, sp_hi = _LEGACY_RANGES[env_id]
+    rs = np.random.RandomState(seed)  # same MT19937 as the global np.random
+    x = rs.uniform(low=-pos_range, high=pos_range)
+    y = rs.uniform(low=-pos_range, high=pos_range)
+    psi = rs.uniform(low=-np.pi, high=np.pi)
+    x_0 = rs.uniform(low=-2.5, high=2.5)
+    y_0 = rs.uniform(low=-2.5, high=2.5)
+    x_d = rs.uniform(low=15, high=30)
+    y_d = y_0
+    desired_speed = rs.uniform(low=sp_lo, high=sp_hi)
+    ak = np.float32(np.arctan2(y_d - y_0, x_d - x_0))
+    pose = np.array([x, y, psi], np.float32)
+    target = np.array([x_0, y_0, desired_speed, ak, x_d, y_d], np.float32)
+    return pose, target
+
+
+def apply_simple_overrides(state, overrides):
+    """Inject replayed scene fields into a (possibly nested) env state."""
+    import jax.numpy as jnp
+
+    tree = {k: jnp.asarray(v) for k, v in overrides.items()}
+    if hasattr(state, "base"):  # asmc/aitsmc variants wrap the simple state
+        return state.replace(base=state.base.replace(**tree))
+    return state.replace(**tree)
+
+
+def apply_legacy_scene(state, pose, target):
+    import jax.numpy as jnp
+
+    from usv_tpu.envs.legacy import _observe
+    from usv_tpu.core.angles import wrap_angle_once
+
+    pose_j = jnp.asarray(pose)
+    target_j = jnp.asarray(target)
+    psi_ak = wrap_angle_once(pose_j[2] - target_j[3])
+    ak = target_j[3]
+    ye = -(pose_j[0] - target_j[0]) * jnp.sin(ak) \
+        + (pose_j[1] - target_j[1]) * jnp.cos(ak)
+    return state.replace(
+        dyn=state.dyn.replace(pose=pose_j),
+        target=target_j,
+        state_vec=_observe(jnp.zeros(3), pose_j, None, ye, psi_ak, 0.0),
+    )

@@ -228,6 +228,7 @@ def asmc_compute(
     perturb_freq: float = 10.0,
     perturb_magnitude: float = 5.0,
     absolute_heading: bool = False,
+    unroll: int = 1,
 ):
     """N substeps of {ASMC @100 Hz -> dynamics integrate} — ``UsvAsmc.compute``.
 
@@ -256,7 +257,16 @@ def asmc_compute(
             px = py = 0.0
         dyn = dynamics_step(vparams, carry.dyn, tport, tstbd, dt, px, py)
         new = AsmcLoopState(ctrl=ctrl, dyn=dyn, perturb_step=carry.perturb_step + 1)
-        return new, debug
+        # post-integration model state rides the history too — the per-
+        # substep "model_history" the reference's C++ helper returns
+        # (usv_asmc_ca_env.py:199); unused entries are DCE'd by XLA
+        return new, {**debug, "pose": dyn.pose, "vel": dyn.vel}
 
-    loop, history = jax.lax.scan(substep, loop, None, length=n_substeps)
+    # unroll: each substep is ~150 scalar flops per env — at wide batches
+    # the scan's per-iteration fixed cost dominates, and unrolling lets XLA
+    # fuse consecutive substeps into one kernel (docs/PERFORMANCE.md,
+    # asmc-simple attribution; semantics identical, pinned by tests)
+    loop, history = jax.lax.scan(
+        substep, loop, None, length=n_substeps, unroll=unroll
+    )
     return loop, history

@@ -80,6 +80,11 @@ class CaEnvConfig:
     # perturbation window — tracked but inert in the ASMC branch (see module
     # docstring); kept for API parity (reference ctor :24)
     perturb_range: tuple = (0, 0)
+    # Expose the full per-substep controller/model history in info as
+    # fixed-shape (n_substeps, ...) arrays — the reference's
+    # controller_history/model_history entries (usv_asmc_ca_env.py:312-323,
+    # filled by usv_libs_py.utils.update_controller_and_model_n :199).
+    debug_history: bool = False
 
     @property
     def obs_dim(self) -> int:
@@ -299,6 +304,27 @@ def step(
         "left_thruster": _hist["tport"][-1],
         "right_thruster": _hist["tstbd"][-1],
     }
+    if cfg.debug_history:
+        # Full per-substep history as fixed-shape (n_substeps, ...) arrays —
+        # the reference's info["controller_history"]/["model_history"]
+        # struct lists (usv_asmc_ca_env.py:312-323), with the C++ binding's
+        # field names (heading_error/heading_gain/heading_sigma/Tz etc.).
+        info["controller_history"] = {
+            "left_thruster": _hist["tport"],
+            "right_thruster": _hist["tstbd"],
+            "speed_error": _hist["e_u"],
+            "heading_error": _hist["e_psi"],
+            "speed_gain": _hist["ka_u"],
+            "heading_gain": _hist["ka_psi"],
+            "speed_sigma": _hist["sigma_u"],
+            "heading_sigma": _hist["sigma_psi"],
+            "Tx": _hist["tx"],
+            "Tz": _hist["tz"],
+        }
+        info["model_history"] = {
+            "pose": _hist["pose"],
+            "vel": _hist["vel"],
+        }
 
     new_state = state.replace(
         ctrl=loop.ctrl,

@@ -7,7 +7,7 @@ Each entry bundles the config class and the pure functions of one env family.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 
 class EnvHandle(NamedTuple):
@@ -16,14 +16,20 @@ class EnvHandle(NamedTuple):
     reset: Callable   # (cfg, key) -> state
     step: Callable    # (cfg, state, action) -> (state, TimeStep)
     reset_obs: Callable  # (cfg, state) -> obs
+    # (cfg, state) -> info dict for the post-reset state, for families whose
+    # reference reset returns an info dict (simple_env.py:303-308 returns
+    # _get_info(-1, zeros)); None where the reference returns obs-only / {}
+    reset_info: Optional[Callable] = None
 
 
 _REGISTRY: Dict[str, Dict[str, Any]] = {}
 
 
-def register(env_id: str, config_cls, reset, step, reset_obs):
+def register(env_id: str, config_cls, reset, step, reset_obs,
+             reset_info=None):
     _REGISTRY[env_id] = dict(
-        config_cls=config_cls, reset=reset, step=step, reset_obs=reset_obs
+        config_cls=config_cls, reset=reset, step=step, reset_obs=reset_obs,
+        reset_info=reset_info,
     )
 
 
@@ -44,6 +50,7 @@ def make(env_id: str, **config_overrides) -> EnvHandle:
         reset=entry["reset"],
         step=entry["step"],
         reset_obs=entry["reset_obs"],
+        reset_info=entry["reset_info"],
     )
 
 
@@ -53,16 +60,19 @@ def _register_builtin():
     register(
         "usv-simple",
         simple.SimpleEnvConfig, simple.reset, simple.step, simple.reset_obs,
+        reset_info=simple.reset_info,
     )
     register(
         "usv-asmc-simple",
         simple_asmc.SimpleAsmcEnvConfig,
         simple_asmc.reset, simple_asmc.step, simple_asmc.reset_obs,
+        reset_info=simple_asmc.reset_info,
     )
     register(
         "usv-aitsmc-simple",
         simple_aitsmc.SimpleAitsmcEnvConfig,
         simple_aitsmc.reset, simple_aitsmc.step, simple_aitsmc.reset_obs,
+        reset_info=simple_aitsmc.reset_info,
     )
     from usv_tpu.envs import asmc_ca
 

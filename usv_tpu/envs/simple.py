@@ -240,6 +240,12 @@ def _info(cfg: SimpleEnvConfig, state: SimpleEnvState, reward, action3):
     }
 
 
+def reset_info(cfg: SimpleEnvConfig, state: SimpleEnvState):
+    """Post-reset info dict — the reference reset returns
+    ``_get_info(-1, np.zeros(3))`` (simple_env.py:303-308)."""
+    return _info(cfg, state, jnp.float32(-1.0), jnp.zeros(3, jnp.float32))
+
+
 def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     """Domain-randomized reset — reference ``reset`` :228-308, on-device.
 

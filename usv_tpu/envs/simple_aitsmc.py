@@ -80,6 +80,12 @@ def reset_obs(cfg: SimpleAitsmcEnvConfig, state: SimpleAitsmcEnvState):
     return simple.reset_obs(cfg, state.base)
 
 
+def reset_info(cfg: SimpleAitsmcEnvConfig, state: SimpleAitsmcEnvState):
+    """Reference reset returns ``super().reset()``'s info
+    (simple_env_aitsmc.py:39-47 -> simple_env.py:303)."""
+    return simple.reset_info(cfg, state.base)
+
+
 def step(
     cfg: SimpleAitsmcEnvConfig,
     state: SimpleAitsmcEnvState,

@@ -40,6 +40,11 @@ class SimpleAsmcEnvConfig(SimpleEnvConfig):
     n_substeps: int = 10           # control/usv_asmc.py:56
     substep_dt: float = 0.01
     double_integrate_compat: bool = True
+    # lax.scan unroll factor for the 20-substep inner loop (semantics
+    # identical; docs/PERFORMANCE.md asmc-simple attribution). The call
+    # boundary carries no state, so the 2x10 nested loop is run as one
+    # flat 20-substep scan.
+    substep_unroll: int = 1
 
 
 @struct.dataclass
@@ -65,6 +70,12 @@ def reset_obs(cfg: SimpleAsmcEnvConfig, state: SimpleAsmcEnvState):
     return simple.reset_obs(cfg, state.base)
 
 
+def reset_info(cfg: SimpleAsmcEnvConfig, state: SimpleAsmcEnvState):
+    """Reference reset defers to ``SimpleEnv.reset`` (simple_env_asmc.py:14-16),
+    whose info is ``_get_info(-1, zeros)`` (simple_env.py:303)."""
+    return simple.reset_info(cfg, state.base)
+
+
 def step(
     cfg: SimpleAsmcEnvConfig,
     state: SimpleAsmcEnvState,
@@ -84,15 +95,17 @@ def step(
         perturb_step=jnp.zeros((), dtype=jnp.int32),
     )
 
-    def one_compute(carry, _):
-        carry, _hist = asmc_compute(
-            gains, vparams, carry, action,
-            do_perturb=False,
-            n_substeps=cfg.n_substeps, dt=cfg.substep_dt,
-        )
-        return carry, None
-
-    loop, _ = jax.lax.scan(one_compute, loop, None, length=cfg.n_compute_calls)
+    # The reference runs n_compute_calls x {n_substeps} (:18-27); the call
+    # boundary carries no controller/model state, so one flat scan of
+    # n_compute_calls * n_substeps substeps is exactly equivalent (pinned
+    # by tests/test_reference_env_parity.py) and exposes the unroll lever.
+    loop, _ = asmc_compute(
+        gains, vparams, loop, action,
+        do_perturb=False,
+        n_substeps=cfg.n_compute_calls * cfg.n_substeps,
+        dt=cfg.substep_dt,
+        unroll=cfg.substep_unroll,
+    )
 
     base = state.base.replace(position=loop.dyn.pose, velocity=loop.dyn.vel)
     base, ts = simple.step(

@@ -95,3 +95,107 @@ def buffer_sample(buf: ReplayBuffer, key, batch_size: int):
         next_obs=buf.next_obs[idx],
         done=buf.done[idx],
     )
+
+
+# --------------------------------------------------------------------------
+# Shard-local variants (multi-chip scaling; docs/SCALING.md).
+#
+# With the capacity axis sharded over an n-device ``env`` mesh, the global
+# ``buffer_sample`` draws indices over the whole buffer, so every gradient
+# step gathers batch rows across all shards — an all-to-all over ICI/DCN.
+# The local variants keep replay traffic chip-local by construction:
+#   * insert: each shard appends its OWN envs' transitions to its OWN
+#     capacity shard (``ptr``/``size`` then count LOCAL rows — identical on
+#     every shard because all envs step in lockstep);
+#   * sample: each shard draws batch_size/n rows uniformly from its local
+#     fill. Because local fills are equal at all times, the union batch is a
+#     stratified-uniform sample of the global buffer — each row's marginal
+#     is exactly uniform over the filled region, strata just never collide.
+# Gradients on the resulting P("env")-sharded batch become the only
+# cross-chip traffic (psum inserted by XLA from the sharding annotations).
+# A buffer written in local mode is NOT interchangeable with global mode
+# (ptr/size units differ); keep the mode fixed across checkpoints.
+# --------------------------------------------------------------------------
+
+
+def buffer_add_traj_local(buf: ReplayBuffer, traj: dict, mesh, axis_name="env"):
+    """Shard-local insert of a (T, B, ...) trajectory pytree.
+
+    ``traj`` leaves are step-major scan outputs with the env batch axis B
+    sharded over the mesh; each shard flattens its local (T, B/n, ...) block
+    step-major and writes it at its local write head (aligned
+    ``dynamic_update_slice`` — local capacity must be a multiple of the
+    local block, guaranteed when capacity % (T*B) == 0).
+    """
+    n = mesh.shape[axis_name]
+    cap = buf.obs.shape[0]
+    t, b = traj["obs"].shape[:2]
+    if b % n or cap % n:
+        raise ValueError(f"num_envs ({b}) and capacity ({cap}) must divide "
+                         f"the mesh axis ({n})")
+    if (cap // n) % (t * (b // n)):
+        raise ValueError("local capacity must be a multiple of the local "
+                         "write block for aligned inserts")
+
+    from jax.sharding import PartitionSpec as P
+
+    data_spec = jax.tree.map(lambda _: P(axis_name), _data_dict(buf))
+    traj_spec = jax.tree.map(lambda _: P(None, axis_name), traj)
+
+    def f(data, ptr, size, tr):
+        local_cap = data["obs"].shape[0]
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), tr
+        )
+        rows = flat["obs"].shape[0]
+
+        def put(dst, src):
+            return jax.lax.dynamic_update_slice(
+                dst, src.astype(dst.dtype), (ptr,) + (0,) * (dst.ndim - 1)
+            )
+
+        new_data = {k: put(data[k], flat[k]) for k in data}
+        return (
+            new_data,
+            (ptr + rows) % local_cap,
+            jnp.minimum(size + rows, local_cap),
+        )
+
+    new_data, ptr, size = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(data_spec, P(), P(), traj_spec),
+        out_specs=(data_spec, P(), P()),
+    )(_data_dict(buf), buf.ptr, buf.size, traj)
+    return buf.replace(ptr=ptr, size=size, **new_data)
+
+
+def buffer_sample_local(buf: ReplayBuffer, key, batch_size: int, mesh,
+                        axis_name="env"):
+    """Stratified shard-local sample: batch_size/n rows per shard, all
+    gathers chip-local; returns a batch dict sharded P("env") on axis 0."""
+    n = mesh.shape[axis_name]
+    if batch_size % n:
+        raise ValueError(f"batch_size ({batch_size}) must divide the mesh "
+                         f"axis ({n})")
+    local_bs = batch_size // n
+
+    from jax.sharding import PartitionSpec as P
+
+    data_spec = jax.tree.map(lambda _: P(axis_name), _data_dict(buf))
+
+    def f(data, size, key):
+        shard = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(key, shard)
+        idx = jax.random.randint(k, (local_bs,), 0, jnp.maximum(size, 1))
+        return {k_: v[idx] for k_, v in data.items()}
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(data_spec, P(), P()),
+        out_specs=jax.tree.map(lambda _: P(axis_name), _data_dict(buf)),
+    )(_data_dict(buf), buf.size, key)
+
+
+def _data_dict(buf: ReplayBuffer) -> dict:
+    return dict(obs=buf.obs, action=buf.action, reward=buf.reward,
+                next_obs=buf.next_obs, done=buf.done)

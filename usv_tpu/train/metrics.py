@@ -77,8 +77,11 @@ def score_eval_stats(stats: dict, best_metric: str = "reward"):
     if "arriveds" in stats:
         episodes = max(stats["episodes"], 1.0)
         metrics["eval_arrival_rate"] = stats["arriveds"] / episodes
-        # an env may report arrivals without collisions — don't KeyError
-        metrics["eval_collision_rate"] = stats.get("collisions", 0.0) / episodes
+        # an env may report arrivals without collisions — only emit the rate
+        # when collisions are actually tracked (0.0 would read as "no
+        # collisions" rather than "not measured")
+        if "collisions" in stats:
+            metrics["eval_collision_rate"] = stats["collisions"] / episodes
         if best_metric == "arrivals":
             score = metrics["eval_arrival_rate"]
     return metrics, score

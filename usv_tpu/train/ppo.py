@@ -55,6 +55,15 @@ class PpoConfig:
     frame_stack: int = 5
     # bf16 MLP matmuls on the MXU (params/optimizer stay f32)
     compute_dtype: str = "float32"
+    # TPU throughput lever (docs/PERFORMANCE.md, PPO update study): fold k
+    # consecutive minibatches into ONE optimizer step on a k*batch_size
+    # batch. Same data:update FLOP ratio per epoch, 1/k the sequential
+    # optimizer-step depth — at the reference's SB3 minibatch of 64 the
+    # 256x256 matmuls are ~100x below MXU tile efficiency, so the update
+    # phase is latency-bound, exactly like unfused SAC (train/sac.py:77-87).
+    # 1/k the optimizer steps trades some sample efficiency for wall-clock;
+    # consider scaling lr with sqrt(k).
+    update_fusion: int = 1
     # Numerical guard (utils/guards.py; see SacConfig.sanitize_envs): diverged
     # envs terminate with reward 0 and auto-reset instead of poisoning the
     # on-policy batch with NaN. Default ON.
@@ -254,15 +263,16 @@ class PpoLearner:
             adv=advs.reshape(n_total),
             ret=returns.reshape(n_total),
         )
-        n_batches = n_total // cfg.batch_size
+        eff_batch = cfg.batch_size * max(1, cfg.update_fusion)
+        n_batches = n_total // eff_batch
 
         def epoch(carry, ek):
             params, opt_state = carry
             perm = jax.random.permutation(ek, n_total)
             shuffled = jax.tree.map(lambda x: x[perm], flat)
             batched = jax.tree.map(
-                lambda x: x[: n_batches * cfg.batch_size].reshape(
-                    n_batches, cfg.batch_size, *x.shape[1:]
+                lambda x: x[: n_batches * eff_batch].reshape(
+                    n_batches, eff_batch, *x.shape[1:]
                 ),
                 shuffled,
             )

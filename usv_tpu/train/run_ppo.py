@@ -17,6 +17,10 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, default=16)
     p.add_argument("--n-steps", type=int, default=2048)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--update-fusion", type=int, default=1,
+                   help="fold k consecutive minibatches into one optimizer "
+                        "step on a k*batch-size batch (MXU-sized updates; "
+                        "docs/PERFORMANCE.md PPO update study)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--frame-stack", type=int, default=5)
     p.add_argument("--logdir", default="runs/ppo")
@@ -63,6 +67,7 @@ def main(argv=None):
         frame_stack=args.frame_stack,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         lr_decay_updates=args.lr_decay_updates or None,
+        update_fusion=args.update_fusion,
     )
     learner = PpoLearner(handle, cfg)
     ts = learner.init(seed=args.seed)

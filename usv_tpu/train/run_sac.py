@@ -29,7 +29,9 @@ def main(argv=None):
     p.add_argument("--lr-final-frac", type=float, default=0.1)
     p.add_argument("--train-freq", type=int, default=8)
     p.add_argument("--gradient-steps", type=int, default=8)
-    p.add_argument("--sde", action="store_true")
+    p.add_argument("--sde", default=True, action=argparse.BooleanOptionalAction,
+                   help="gSDE exploration (reference config_sac default; "
+                        "--no-sde for per-step Gaussian noise)")
     p.add_argument("--frame-stack", type=int, default=5)
     p.add_argument("--lambda-t", type=float, default=10.0)
     p.add_argument("--lambda-s", type=float, default=5.0)
@@ -54,6 +56,11 @@ def main(argv=None):
     p.add_argument("--ignore-obstacles", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="shard env batch + replay over all local devices")
+    p.add_argument("--shard-local-replay", action="store_true",
+                   help="with --shard: per-shard replay insert/sample so the "
+                        "only steady-state cross-chip traffic is the "
+                        "gradient psum (docs/SCALING.md; recommended beyond "
+                        "one host)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MLP compute on the MXU (params stay f32)")
     p.add_argument("--fused-updates", action="store_true",
@@ -101,8 +108,14 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         fused_updates=args.fused_updates,
         update_fusion=args.update_fusion,
+        shard_local_replay=args.shard_local_replay,
     )
-    learner = SacLearner(handle, cfg)
+    mesh = None
+    if args.shard or args.shard_local_replay:
+        from usv_tpu.parallel.mesh import make_env_mesh
+
+        mesh = make_env_mesh()
+    learner = SacLearner(handle, cfg, mesh=mesh)
     ts = learner.init(seed=args.seed)
 
     if args.resume:
@@ -115,11 +128,10 @@ def main(argv=None):
         ts = restored
         print(f"resumed from checkpoint at env step {at_step}", flush=True)
 
-    if args.shard:
-        from usv_tpu.parallel.mesh import make_env_mesh
+    if mesh is not None:
         from usv_tpu.parallel.sharded import shard_sac_train_state
 
-        ts = shard_sac_train_state(ts, make_env_mesh())
+        ts = shard_sac_train_state(ts, mesh)
 
     logger = MetricLogger(args.logdir, config=vars(args))
     from usv_tpu.train.policy import export_policy

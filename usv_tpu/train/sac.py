@@ -33,8 +33,10 @@ from usv_tpu.models.mlp import DoubleCritic, SquashedGaussianActor
 from usv_tpu.train.buffer import (
     ReplayBuffer,
     buffer_add_batch,
+    buffer_add_traj_local,
     buffer_init,
     buffer_sample,
+    buffer_sample_local,
 )
 from usv_tpu.vector.frames import init_frames, push_frames
 
@@ -64,11 +66,10 @@ class SacConfig:
     eps_s: float = 0.1
     # gSDE exploration (config.py:18-19; SB3 use_sde + sde_sample_freq).
     # Updates always use the exact marginal distribution; this flag makes
-    # collection noise temporally smooth via exploration matrices.
-    # NOTE: the reference config sets use_sde=True; it defaults False here
-    # (plain per-step Gaussian collection) — set True / pass --sde for
-    # exact reference-equivalent exploration.
-    use_sde: bool = False
+    # collection noise temporally smooth via exploration matrices. Defaults
+    # True to match the reference's config_sac (train_test/config.py:18);
+    # set False / pass --no-sde for plain per-step Gaussian collection.
+    use_sde: bool = True
     sde_sample_freq: int = 4
     # vector-env setup
     num_envs: int = 64
@@ -85,6 +86,13 @@ class SacConfig:
     compute_dtype: str = "float32"
     fused_updates: bool = False
     update_fusion: int = 1
+    # Shard-local replay (multi-chip scaling; docs/SCALING.md): insert and
+    # sample the replay buffer per mesh shard, so the only steady-state
+    # cross-chip traffic is the gradient psum. Requires passing ``mesh=`` to
+    # the learner; num_envs, batch_size and the replay capacity must divide
+    # the mesh's env axis. Sampling is stratified-uniform (equal rows per
+    # shard) — equal in marginal distribution to global uniform sampling.
+    shard_local_replay: bool = False
     # action bounds; None derives them from the env config
     action_low: Optional[Tuple[float, ...]] = None
     action_high: Optional[Tuple[float, ...]] = None
@@ -120,9 +128,23 @@ class SacTrainState:
 class SacLearner:
     """Actor-learner bound to one env family (fully on-device)."""
 
-    def __init__(self, handle: EnvHandle, config: SacConfig = SacConfig()):
+    def __init__(self, handle: EnvHandle, config: SacConfig = SacConfig(),
+                 mesh=None):
         self.handle = handle
         self.cfg = config
+        self.mesh = mesh
+        if config.shard_local_replay:
+            if mesh is None:
+                raise ValueError(
+                    "shard_local_replay=True needs the device mesh: "
+                    "SacLearner(handle, cfg, mesh=make_env_mesh())"
+                )
+            n = mesh.devices.size
+            if config.num_envs % n or config.batch_size % n:
+                raise ValueError(
+                    f"num_envs ({config.num_envs}) and batch_size "
+                    f"({config.batch_size}) must divide the mesh size ({n})"
+                )
         env_cfg = handle.cfg
         self.obs_dim = env_cfg.obs_dim * max(1, config.frame_stack)
         self.act_dim = env_cfg.action_dim
@@ -325,15 +347,20 @@ class SacLearner:
             (ts.env_state, ts.frames, ts.env_steps, ts.sde),
             keys,
         )
-        # flatten (T, B, ...) -> (T*B, ...): step-major, matching the
-        # reference's per-step insertion order
-        flat = jax.tree.map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), traj
-        )
-        buffer = buffer_add_batch(
-            ts.buffer, flat["obs"], flat["action"], flat["reward"],
-            flat["next_obs"], flat["done"], aligned=True,
-        )
+        if cfg.shard_local_replay:
+            # each shard appends its own envs' (T, B/n) block locally —
+            # no cross-chip traffic on insert (docs/SCALING.md)
+            buffer = buffer_add_traj_local(ts.buffer, traj, self.mesh)
+        else:
+            # flatten (T, B, ...) -> (T*B, ...): step-major, matching the
+            # reference's per-step insertion order
+            flat = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), traj
+            )
+            buffer = buffer_add_batch(
+                ts.buffer, flat["obs"], flat["action"], flat["reward"],
+                flat["next_obs"], flat["done"], aligned=True,
+            )
         ts = ts.replace(
             env_state=env_state, frames=frames,
             buffer=buffer, env_steps=env_steps, sde=sde,
@@ -341,6 +368,11 @@ class SacLearner:
         return ts, jnp.sum(rewards)
 
     # -------------------------------------------------------------- updates
+
+    def _sample(self, buffer, key, batch_size):
+        if self.cfg.shard_local_replay:
+            return buffer_sample_local(buffer, key, batch_size, self.mesh)
+        return buffer_sample(buffer, key, batch_size)
 
     def _critic_loss(self, critic_params, ts: SacTrainState, batch, key):
         cfg = self.cfg
@@ -386,9 +418,7 @@ class SacLearner:
     def _update_once(self, ts: SacTrainState, key, batch_size=None):
         cfg = self.cfg
         k_batch, k_critic, k_actor, k_next = jax.random.split(key, 4)
-        batch = buffer_sample(
-            ts.buffer, k_batch, batch_size or cfg.batch_size
-        )
+        batch = self._sample(ts.buffer, k_batch, batch_size or cfg.batch_size)
 
         critic_grads = jax.grad(self._critic_loss)(
             ts.critic_params, ts, batch, k_critic
@@ -444,7 +474,12 @@ class SacLearner:
             # fresh run they are identical (train_freq*num_envs inserts per
             # round), but after a light-checkpoint resume (empty re-attached
             # buffer, restored counter) only the fill gate re-warms properly.
-            past_warmup = ts.buffer.size >= min(
+            # (in shard-local mode buffer.size counts LOCAL rows; scale by
+            # the shard count for the global fill)
+            fill_scale = (
+                self.mesh.devices.size if cfg.shard_local_replay else 1
+            )
+            past_warmup = ts.buffer.size * fill_scale >= min(
                 cfg.learning_starts, cfg.buffer_size
             )
 
@@ -547,7 +582,7 @@ class SacLearner:
             def impl(ts: SacTrainState):
                 key = jax.random.fold_in(ts.key, 13)
                 k_batch, k_critic, k_actor = jax.random.split(key, 3)
-                batch = buffer_sample(ts.buffer, k_batch, self.cfg.batch_size)
+                batch = self._sample(ts.buffer, k_batch, self.cfg.batch_size)
                 critic_loss, critic_grads = jax.value_and_grad(
                     self._critic_loss
                 )(ts.critic_params, ts, batch, k_critic)
