@@ -280,18 +280,27 @@ class SacLearner:
 
     def _policy_action(self, ts: SacTrainState, obs, key, random_phase, sde=None):
         """Random uniform during warmup, else squashed-Gaussian sample
-        (temporally smooth gSDE noise when enabled)."""
+        (temporally smooth gSDE noise when enabled).
+
+        ``random_phase`` is a scalar, so ``lax.cond`` executes only the live
+        branch — no actor forward during warmup, no uniform draw after.
+        (Under the population vmap the cond lowers back to a select; warmup
+        is cheap relative to a population run anyway.)"""
         low = jnp.asarray(self.action_low)
         high = jnp.asarray(self.action_high)
         k1, k2 = jax.random.split(key)
-        rand = jax.random.uniform(
-            k1, (obs.shape[0], self.act_dim), minval=low, maxval=high
-        )
-        if self.cfg.use_sde:
-            sampled = self.actor.sample_sde(ts.actor_params, obs, sde)
-        else:
-            sampled, _, _ = self.actor.sample(ts.actor_params, obs, k2)
-        return jnp.where(random_phase, rand, sampled)
+
+        def rand_branch(_):
+            return jax.random.uniform(
+                k1, (obs.shape[0], self.act_dim), minval=low, maxval=high
+            )
+
+        def actor_branch(_):
+            if self.cfg.use_sde:
+                return self.actor.sample_sde(ts.actor_params, obs, sde)
+            return self.actor.sample(ts.actor_params, obs, k2)[0]
+
+        return jax.lax.cond(random_phase, rand_branch, actor_branch, None)
 
     def _env_cycle(self, ts: SacTrainState, key):
         """train_freq env steps on all envs, then ONE buffer insert.
