@@ -4,9 +4,11 @@ Protocol: zero-action steps of ``usv-simple`` (reference tools/profile_env.py:
 1-8) at 4096 vmapped lockstep envs (BASELINE.json config 4), fully on-device
 under lax.scan. Prints ONE JSON line.
 
-Baseline: the reference publishes no numbers; the only measured figure is
-270 env-steps/s for a single env in this sandbox (BASELINE.md — numba stubbed).
-``vs_baseline`` is aggregate steps/s divided by that measured figure.
+Baseline: the reference publishes no numbers. Measured in this sandbox: 270
+env-steps/s single-env with numba unavailable (raycast interpreted);
+BASELINE.md row 5 estimates 2,000-10,000 steps/s with numba active.
+``vs_baseline`` divides by the TOP of that estimate (10k) — the honest,
+conservative factor (the raw numba-stubbed measurement would inflate it 37x).
 """
 
 import json
@@ -15,7 +17,9 @@ import time
 
 NUM_ENVS = 4096
 N_STEPS = 2048
-BASELINE_STEPS_PER_S = 270.0  # measured reference, BASELINE.md row 3
+# top of the numba-active estimate (BASELINE.md row 5), NOT the 270
+# numba-stubbed measurement — conservative on purpose
+BASELINE_STEPS_PER_S = 10_000.0
 
 
 def main():

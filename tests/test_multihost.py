@@ -144,6 +144,9 @@ _SAC_WORKER = textwrap.dedent(
         key=g(repl, ts.key),
         env_steps=g(repl, ts.env_steps),
         grad_steps=g(repl, ts.grad_steps),
+        # per-env gSDE exploration matrices ride the batch axis (the
+        # use_sde=True default since the config_sac parity flip)
+        sde=g_tree(batch, ts.sde) if ts.sde is not None else None,
     )
 
     # the FULL train cycle (collect + replay insert + updates) as one SPMD
