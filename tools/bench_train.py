@@ -60,7 +60,9 @@ def bench_ppo(args):
     for bs in args.ppo_batch_sizes:
         for fusion in args.ppo_fusions:
             cfg = PpoConfig(num_envs=args.envs, batch_size=bs,
-                            update_fusion=fusion)
+                            update_fusion=fusion,
+                            compute_dtype="bfloat16" if args.bf16
+                            else "float32")
             learner = PpoLearner(handle, cfg)
             ts = learner.init(seed=0)
             steps_per_iter = cfg.n_steps * cfg.num_envs
@@ -108,6 +110,8 @@ def main():
     p.add_argument("--ppo-fusions", type=int, nargs="*", default=[1],
                    help="update_fusion values to sweep (k minibatches per "
                         "optimizer step)")
+    p.add_argument("--bf16", action="store_true",
+                   help="(ppo) bf16 MLP compute on the MXU")
     args = p.parse_args()
 
     import jax

@@ -181,18 +181,29 @@ class PpoLearner:
             # Time-limit (truncation) bootstrap, SB3-style: when an episode is
             # truncated but not terminated, add gamma * V(terminal_obs) to the
             # reward so GAE can treat every done as terminal.
-            terminal_frames = jnp.concatenate(
-                [frames[:, 1:, :],
-                 step_ts.info["terminal_observation"][:, None, :]],
-                axis=1,
+            truncated_mask = step_ts.truncated & ~step_ts.terminated
+            truncated_only = truncated_mask.astype(jnp.float32)
+
+            # The bootstrap value is only consumed on steps where some env
+            # actually truncated (~1 in max_episode_steps when episodes run
+            # full length); lax.cond skips the whole extra forward pass
+            # otherwise — the rollout phase was paying a second value-net
+            # forward every step (docs/PERFORMANCE.md, PPO update study).
+            def _terminal_value(_):
+                terminal_frames = jnp.concatenate(
+                    [frames[:, 1:, :],
+                     step_ts.info["terminal_observation"][:, None, :]],
+                    axis=1,
+                )
+                return self.model.apply(
+                    ts.params, terminal_frames.reshape(cfg.num_envs, -1),
+                    method=self.model.value_only,
+                )
+
+            terminal_value = jax.lax.cond(
+                jnp.any(truncated_mask), _terminal_value,
+                lambda _: jnp.zeros((cfg.num_envs,)), None,
             )
-            terminal_value = self.model.apply(
-                ts.params, terminal_frames.reshape(cfg.num_envs, -1),
-                method=self.model.value_only,
-            )
-            truncated_only = (
-                step_ts.truncated & ~step_ts.terminated
-            ).astype(jnp.float32)
             reward = step_ts.reward + cfg.gamma * terminal_value * truncated_only
             out = dict(
                 obs=obs, action=action, logp=logp, value=value,
