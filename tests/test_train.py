@@ -182,6 +182,19 @@ def test_ppo_update_fusion_runs_and_matches_data_ratio():
             assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_ppo_single_shuffle_mode_trains():
+    """reshuffle_epochs=False (one permutation per iteration) trains
+    finitely — the shuffle-traffic lever of the PPO update study."""
+    h = make("usv-simple")
+    cfg = dataclasses.replace(SMALL_PPO, reshuffle_epochs=False)
+    learner = PpoLearner(h, cfg)
+    ts, r = learner.train_iteration(learner.init(seed=0))
+    ts, r = learner.train_iteration(ts)
+    assert np.isfinite(float(r))
+    for leaf in jax.tree.leaves(ts.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_eval_policy_stats_outcome_counts():
     """eval_policy_stats reports outcome counts; envs that expose
     arrived/collision (the CA env) get task-metric keys for model

@@ -61,6 +61,7 @@ def bench_ppo(args):
         for fusion in args.ppo_fusions:
             cfg = PpoConfig(num_envs=args.envs, batch_size=bs,
                             update_fusion=fusion,
+                            reshuffle_epochs=not args.single_shuffle,
                             compute_dtype="bfloat16" if args.bf16
                             else "float32")
             learner = PpoLearner(handle, cfg)
@@ -112,6 +113,9 @@ def main():
                         "optimizer step)")
     p.add_argument("--bf16", action="store_true",
                    help="(ppo) bf16 MLP compute on the MXU")
+    p.add_argument("--single-shuffle", action="store_true",
+                   help="(ppo) one permutation per iteration instead of "
+                        "per epoch (reshuffle_epochs=False)")
     args = p.parse_args()
 
     import jax

@@ -64,6 +64,13 @@ class PpoConfig:
     # 1/k the optimizer steps trades some sample efficiency for wall-clock;
     # consider scaling lr with sqrt(k).
     update_fusion: int = 1
+    # SB3 reshuffles the whole rollout every epoch; at 256+ envs that is a
+    # random-row gather over the full (n_steps*num_envs, obs) arrays per
+    # epoch — the dominant update-phase cost once fusion removes the
+    # optimizer-step latency (docs/PERFORMANCE.md PPO study). False keeps
+    # ONE shuffle per iteration (minibatches still random, epochs revisit
+    # them in the same grouping) for ~1/n_epochs the shuffle traffic.
+    reshuffle_epochs: bool = True
     # Numerical guard (utils/guards.py; see SacConfig.sanitize_envs): diverged
     # envs terminate with reward 0 and auto-reset instead of poisoning the
     # on-policy batch with NaN. Default ON.
@@ -277,35 +284,44 @@ class PpoLearner:
         eff_batch = cfg.batch_size * max(1, cfg.update_fusion)
         n_batches = n_total // eff_batch
 
-        def epoch(carry, ek):
-            params, opt_state = carry
+        def shuffle_batch(ek):
             perm = jax.random.permutation(ek, n_total)
             shuffled = jax.tree.map(lambda x: x[perm], flat)
-            batched = jax.tree.map(
+            return jax.tree.map(
                 lambda x: x[: n_batches * eff_batch].reshape(
                     n_batches, eff_batch, *x.shape[1:]
                 ),
                 shuffled,
             )
 
-            def minibatch(carry, batch):
-                params, opt_state = carry
-                grads = jax.grad(self._loss)(
-                    params, batch, cfg.clip_range, cfg.ent_coef, cfg.vf_coef
-                )
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), None
-
-            (params, opt_state), _ = jax.lax.scan(
-                minibatch, (params, opt_state), batched
+        def minibatch(carry, batch):
+            params, opt_state = carry
+            grads = jax.grad(self._loss)(
+                params, batch, cfg.clip_range, cfg.ent_coef, cfg.vf_coef
             )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
             return (params, opt_state), None
 
-        (params, opt_state), _ = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state),
-            jax.random.split(k_perm, cfg.n_epochs),
-        )
+        if cfg.reshuffle_epochs:  # SB3 semantics: fresh permutation/epoch
+            def epoch(carry, ek):
+                carry, _ = jax.lax.scan(minibatch, carry, shuffle_batch(ek))
+                return carry, None
+
+            (params, opt_state), _ = jax.lax.scan(
+                epoch, (ts.params, ts.opt_state),
+                jax.random.split(k_perm, cfg.n_epochs),
+            )
+        else:  # one shuffle per iteration; epochs rescan the same batching
+            batched = shuffle_batch(k_perm)
+
+            def epoch(carry, _):
+                carry, _ = jax.lax.scan(minibatch, carry, batched)
+                return carry, None
+
+            (params, opt_state), _ = jax.lax.scan(
+                epoch, (ts.params, ts.opt_state), None, length=cfg.n_epochs,
+            )
         mean_reward = jnp.mean(traj["raw_reward"])
         ts = ts.replace(
             params=params, opt_state=opt_state,

@@ -21,6 +21,10 @@ def main(argv=None):
                    help="fold k consecutive minibatches into one optimizer "
                         "step on a k*batch-size batch (MXU-sized updates; "
                         "docs/PERFORMANCE.md PPO update study)")
+    p.add_argument("--single-shuffle", action="store_true",
+                   help="one rollout permutation per iteration instead of "
+                        "per epoch — cuts the dominant shuffle-gather cost "
+                        "at wide batches (docs/PERFORMANCE.md)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--frame-stack", type=int, default=5)
     p.add_argument("--logdir", default="runs/ppo")
@@ -68,6 +72,7 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
         lr_decay_updates=args.lr_decay_updates or None,
         update_fusion=args.update_fusion,
+        reshuffle_epochs=not args.single_shuffle,
     )
     learner = PpoLearner(handle, cfg)
     ts = learner.init(seed=args.seed)
