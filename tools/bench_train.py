@@ -57,11 +57,14 @@ def bench_ppo(args):
         float(jax.tree.leaves(out)[0].ravel()[0])
         return out, time.time() - t0
 
+    shuffle_opts = ([True, False] if args.sweep_shuffle
+                    else [not args.single_shuffle])
     for bs in args.ppo_batch_sizes:
         for fusion in args.ppo_fusions:
+          for reshuffle in shuffle_opts:
             cfg = PpoConfig(num_envs=args.envs, batch_size=bs,
                             update_fusion=fusion,
-                            reshuffle_epochs=not args.single_shuffle,
+                            reshuffle_epochs=reshuffle,
                             compute_dtype="bfloat16" if args.bf16
                             else "float32")
             learner = PpoLearner(handle, cfg)
@@ -86,6 +89,7 @@ def bench_ppo(args):
                 "num_envs": args.envs,
                 "batch_size": bs,
                 "update_fusion": fusion,
+                "reshuffle_epochs": reshuffle,
                 "optimizer_steps_per_iter":
                     cfg.n_epochs * (steps_per_iter // (bs * fusion)),
                 "iter_ms": round(1e3 * dt, 1),
@@ -116,6 +120,9 @@ def main():
     p.add_argument("--single-shuffle", action="store_true",
                    help="(ppo) one permutation per iteration instead of "
                         "per epoch (reshuffle_epochs=False)")
+    p.add_argument("--sweep-shuffle", action="store_true",
+                   help="(ppo) bench both reshuffle_epochs settings per "
+                        "config (same-session A/B)")
     args = p.parse_args()
 
     import jax
