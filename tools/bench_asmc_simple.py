@@ -33,9 +33,10 @@ def main():
     from usv_tpu.vector import throughput
 
     def run(tag, **kw):
+        env_id = "usv-simple" if tag.startswith("usv-simple") \
+            else "usv-asmc-simple"
         out = throughput(
-            make("usv-asmc-simple", **kw) if "simple" not in tag
-            else make("usv-simple", **kw),
+            make(env_id, **kw),
             num_envs=args.envs, n_steps=args.steps, repeats=3,
         )
         print(json.dumps({
