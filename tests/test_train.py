@@ -377,3 +377,31 @@ def test_ppo_improves_on_cheap_env():
         ts, r = learner.train_iteration(ts)
         rewards.append(float(r))
     assert all(np.isfinite(rewards))
+
+
+def test_ppo_cli_at_scale_recipe_resolution():
+    """--recipe at-scale resolves to the measured-best config
+    (docs/PERFORMANCE.md "PPO update-path study"); explicit flags win,
+    including flags that repeat a fallback value."""
+    from usv_tpu.train.run_ppo import apply_recipe, build_parser
+
+    p = build_parser()
+    a = apply_recipe(p.parse_args(
+        ["--recipe", "at-scale", "--total-steps", "100e6"]), p)
+    assert (a.num_envs, a.batch_size, a.update_fusion) == (256, 2048, 4)
+    assert a.single_shuffle and a.eval_steps == 1000
+    # lr annealed to 0 over the run: iters * opt-steps-per-iter
+    steps_per_iter = a.n_steps * a.num_envs
+    expect = (int(1e8) // steps_per_iter) * 10 * (
+        steps_per_iter // (a.batch_size * a.update_fusion))
+    assert a.lr_decay_updates == expect
+
+    # explicit flag equal to the global fallback still overrides the recipe
+    b = apply_recipe(p.parse_args(
+        ["--recipe", "at-scale", "--update-fusion", "1"]), p)
+    assert b.update_fusion == 1
+
+    # no recipe: SB3-matching fallbacks
+    c = apply_recipe(p.parse_args([]), p)
+    assert (c.num_envs, c.batch_size, c.update_fusion) == (16, 64, 1)
+    assert (c.eval_steps, c.lr_decay_updates, c.single_shuffle) == (500, 0, False)

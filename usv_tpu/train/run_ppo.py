@@ -10,14 +10,62 @@ import argparse
 import time
 
 
-def main(argv=None):
+# SB3-matching fallbacks for the recipe-tunable args (their argparse
+# default is None so an explicit flag — even one repeating the fallback
+# value — always beats the recipe).
+_ARG_FALLBACKS = dict(
+    num_envs=16, batch_size=64, update_fusion=1, eval_steps=500,
+    lr_decay_updates=0,
+)
+
+
+def apply_recipe(args, parser=None):
+    """Resolve ``--recipe`` and the None-sentinel defaults into concrete
+    args. Explicit flags always win over the recipe.
+
+    ``at-scale``: the measured-best wide-batch recipe (docs/PERFORMANCE.md,
+    "PPO update-path study" + the per-env at-scale quality studies): 256
+    envs, minibatch 2048 with 4-way update fusion, one shuffle per
+    iteration, and lr linearly annealed to 0 over the whole run (the decay
+    horizon is derived from total steps and the update geometry).
+    """
+    if args.recipe == "at-scale":
+        if args.num_envs is None:
+            args.num_envs = 256
+        if args.batch_size is None:
+            args.batch_size = 2048
+        if args.update_fusion is None:
+            args.update_fusion = 4
+        args.single_shuffle = True
+        if args.eval_steps is None:
+            args.eval_steps = 1000
+        if args.lr_decay_updates is None:
+            from usv_tpu.train.ppo import PpoConfig
+
+            steps_per_iter = args.n_steps * args.num_envs
+            iters = max(1, int(args.total_steps) // steps_per_iter)
+            opt_per_iter = PpoConfig().n_epochs * max(
+                1, steps_per_iter // (args.batch_size * args.update_fusion)
+            )
+            args.lr_decay_updates = iters * opt_per_iter
+    for name, fallback in _ARG_FALLBACKS.items():
+        if getattr(args, name) is None:
+            setattr(args, name, fallback)
+    return args
+
+
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="usv-simple")
+    p.add_argument("--recipe", choices=["none", "at-scale"], default="none",
+                   help="named preset; 'at-scale' = 256 envs, batch 2048, "
+                        "4-way update fusion, single shuffle, lr annealed "
+                        "over the run (explicit flags override)")
     p.add_argument("--total-steps", type=float, default=10e6)
-    p.add_argument("--num-envs", type=int, default=16)
+    p.add_argument("--num-envs", type=int, default=None)  # default 16
     p.add_argument("--n-steps", type=int, default=2048)
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--update-fusion", type=int, default=1,
+    p.add_argument("--batch-size", type=int, default=None)  # default 64
+    p.add_argument("--update-fusion", type=int, default=None,  # default 1
                    help="fold k consecutive minibatches into one optimizer "
                         "step on a k*batch-size batch (MXU-sized updates; "
                         "docs/PERFORMANCE.md PPO update study)")
@@ -42,7 +90,7 @@ def main(argv=None):
                    help="deterministic-policy eval every N iterations; the "
                         "best evaluation's policy is exported to "
                         "<logdir>/policy_best (0 disables)")
-    p.add_argument("--lr-decay-updates", type=int, default=0,
+    p.add_argument("--lr-decay-updates", type=int, default=None,  # default 0
                    help="linear lr decay over this many gradient updates "
                         "(0 = constant lr)")
     p.add_argument("--best-metric", choices=["reward", "arrivals"],
@@ -50,11 +98,16 @@ def main(argv=None):
                    help="metric that selects <logdir>/policy_best: eval "
                         "reward/step, or arrival rate on envs that report "
                         "arrivals (falls back to reward elsewhere)")
-    p.add_argument("--eval-steps", type=int, default=500,
+    p.add_argument("--eval-steps", type=int, default=None,  # default 500
                    help="deterministic-eval rollout length")
     p.add_argument("--eval-envs", type=int, default=16,
                    help="deterministic-eval batch width")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    p = build_parser()
+    args = apply_recipe(p.parse_args(argv), p)
 
     from usv_tpu.envs import make
     from usv_tpu.train.checkpoint import save_checkpoint
