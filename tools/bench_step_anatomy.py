@@ -1,0 +1,131 @@
+"""Decompose the autoreset step cost: raw step vs reset-recompute vs RNG.
+
+The branch-free autoreset (usv_tpu/envs/autoreset.py) recomputes a full
+domain-randomized reset for EVERY env on EVERY step and selects it where
+``done`` — measured faster than pooled/gather alternatives at 4096 envs, but
+it puts the whole reset sampling pipeline (threefry draws for path,
+obstacles, velocities) on the per-step critical path. This tool attributes
+that cost in one session:
+
+  raw        vmapped step only, dones ignored (no reset, no select)
+  autoreset  the production path (anchor; equals tools/bench_all.py rows)
+  reset_only vmapped reset alone per scan step
+  rbg        autoreset with RBG-keyed env states: same distributions,
+             different (non-threefry) random stream — jax.random.key(...,
+             impl='rbg') is far cheaper on TPU's vector units
+
+Usage: python tools/bench_step_anatomy.py [--env usv-simple] [--envs 4096]
+           [--steps 2048] [--ignore-obstacles]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import time
+from functools import partial
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="usv-simple")
+    p.add_argument("--envs", type=int, default=4096)
+    p.add_argument("--steps", type=int, default=2048)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--ignore-obstacles", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from usv_tpu.envs import make
+    from usv_tpu.envs.autoreset import make_autoreset_step
+
+    kw = {"ignore_obstacles": True} if args.ignore_obstacles else {}
+    handle = make(args.env, **kw)
+    cfg = handle.cfg
+    B, T = args.envs, args.steps
+
+    vreset = jax.vmap(partial(handle.reset, cfg))
+    vstep = jax.vmap(partial(handle.step, cfg))
+    vauto = jax.vmap(
+        make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+    )
+
+    def scan_prog(body, init):
+        def run(key):
+            carry, _ = jax.lax.scan(body, init(key), None, length=T)
+            leaves = [
+                x for x in jax.tree.leaves(carry)
+                if not jax.dtypes.issubdtype(x.dtype, jax.dtypes.extended)
+                and jnp.issubdtype(x.dtype, jnp.floating)
+            ]
+            return leaves[0]
+        return jax.jit(run)
+
+    def time_prog(run):
+        def sync(key):
+            out = run(key)
+            return float(jnp.ravel(out)[0])
+        sync(jax.random.key(0))
+        best = float("inf")
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            sync(jax.random.key(i + 1))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    zeros = jnp.zeros((B, cfg.action_dim), dtype=jnp.float32)
+
+    def init_states(key, impl=None):
+        keys = jax.random.split(
+            jax.random.key(0, impl=impl) if impl else key, B
+        )
+        return vreset(keys)
+
+    progs = {}
+
+    def state_body(stepper):
+        def body(state, _):
+            state, ts = stepper(state, zeros)
+            return state, None
+        return body
+
+    progs["raw"] = scan_prog(
+        state_body(lambda s, a: vstep(s, a)), init_states
+    )
+    progs["autoreset"] = scan_prog(state_body(vauto), init_states)
+    progs["rbg"] = scan_prog(
+        state_body(vauto), lambda key: init_states(key, impl="rbg")
+    )
+
+    def reset_body(carry, _):
+        key, acc = carry
+        key, kr = jax.random.split(key)
+        st = vreset(jax.random.split(kr, B))
+        # consume one (float) leaf so the reset is not dead code
+        leaf = [
+            x for x in jax.tree.leaves(st)
+            if not jax.dtypes.issubdtype(x.dtype, jax.dtypes.extended)
+            and jnp.issubdtype(x.dtype, jnp.floating)
+        ][0]
+        return (key, acc + jnp.sum(leaf[..., :1])), None
+
+    progs["reset_only"] = scan_prog(reset_body, lambda k: (k, jnp.zeros(())))
+
+    for name, run in progs.items():
+        dt = time_prog(run)
+        print(json.dumps({
+            "config": name,
+            "env": args.env,
+            "ignore_obstacles": args.ignore_obstacles,
+            "ms_per_batched_step": round(1e3 * dt / T, 4),
+            "steps_per_second": round(B * T / dt, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
