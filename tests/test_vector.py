@@ -125,7 +125,7 @@ def test_pooled_autoreset_partial_wave():
 def test_rollout_scan_runs():
     h = make("usv-simple")
     run = rollout_scan(h, num_envs=32, n_steps=50)
-    state, reward_sum, done_count = jax.block_until_ready(run(jax.random.key(0)))
+    state, obs, reward_sum, done_count = jax.block_until_ready(run(jax.random.key(0)))
     assert np.isfinite(float(reward_sum))
 
 
@@ -136,7 +136,7 @@ def test_rollout_with_policy():
         return jax.random.uniform(key, (obs.shape[0], 2), minval=-1.0, maxval=1.0)
 
     run = rollout_scan(h, num_envs=16, n_steps=30, policy_fn=policy)
-    state, reward_sum, done_count = jax.block_until_ready(run(jax.random.key(3)))
+    state, obs, reward_sum, done_count = jax.block_until_ready(run(jax.random.key(3)))
     assert np.isfinite(float(reward_sum))
 
 

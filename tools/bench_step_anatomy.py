@@ -58,12 +58,15 @@ def main():
     def scan_prog(body, init):
         def run(key):
             carry, _ = jax.lax.scan(body, init(key), None, length=T)
+            # consume EVERY float carry element so nothing is loop-dead
+            # (XLA's while-loop simplifier removes dead tuple elements,
+            # which would silently drop the work being measured)
             leaves = [
                 x for x in jax.tree.leaves(carry)
                 if not jax.dtypes.issubdtype(x.dtype, jax.dtypes.extended)
                 and jnp.issubdtype(x.dtype, jnp.floating)
             ]
-            return leaves[0]
+            return sum(jnp.sum(x) for x in leaves)
         return jax.jit(run)
 
     def time_prog(run):
@@ -115,6 +118,52 @@ def main():
         return (key, acc + jnp.sum(leaf[..., :1])), None
 
     progs["reset_only"] = scan_prog(reset_body, lambda k: (k, jnp.zeros(())))
+
+    # bench-path decomposition: what the production rollout_scan pays on
+    # top of the bare autoreset state recursion.
+    def reward_body(carry, _):
+        state, rsum = carry
+        state, ts = vauto(state, zeros)
+        return (state, rsum + jnp.sum(ts.reward)), None
+
+    progs["autoreset_rewardsum"] = scan_prog(
+        reward_body, lambda k: (init_states(k), jnp.zeros(()))
+    )
+
+    def obs_body(carry, _):
+        state, obs, rsum = carry
+        state, ts = vauto(state, zeros)
+        return (state, ts.obs, rsum + jnp.sum(ts.reward)), None
+
+    progs["autoreset_obs_carry"] = scan_prog(
+        obs_body,
+        lambda k: (init_states(k),
+                   jnp.zeros((B, cfg.obs_dim), jnp.float32), jnp.zeros(())),
+    )
+
+    from usv_tpu.vector.rollout import rollout_scan
+
+    # call the production jitted program directly and index on the host —
+    # wrapping it in an outer jit that returns only reward_sum would DCE
+    # the obs output right back out
+    _bench_run = rollout_scan(handle, B, T)
+    progs["bench_exact"] = lambda key: _bench_run(key)[2]
+
+    # rollout_scan body verbatim, but scan over length=T instead of a
+    # presplit (T,) key array (keys are unused with the zero-action policy)
+    vreset_obs = jax.vmap(partial(handle.reset_obs, cfg))
+
+    def nokeys_body(carry, _):
+        state, obs, rsum, dcount = carry
+        state, ts = vauto(state, zeros)
+        return (state, ts.obs, rsum + jnp.sum(ts.reward),
+                dcount + jnp.sum(ts.done)), None
+
+    def init_full(key):
+        st = init_states(key)
+        return (st, vreset_obs(st), jnp.zeros(()), jnp.zeros((), jnp.int32))
+
+    progs["bench_nokeys"] = scan_prog(nokeys_body, init_full)
 
     for name, run in progs.items():
         dt = time_prog(run)

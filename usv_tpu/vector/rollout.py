@@ -83,9 +83,15 @@ def rollout_scan(
         (state, obs, reward_sum, done_count), traj = jax.lax.scan(
             body, (state, obs0, jnp.zeros(()), jnp.zeros((), jnp.int32)), keys
         )
+        # obs MUST be part of the output: with the default zero-action
+        # policy nothing else consumes it, and XLA's while-loop dead-tuple
+        # elimination would silently skip per-step observation assembly —
+        # inflating the benchmark ~10% (measured; docs/PERFORMANCE.md
+        # "Autoreset step anatomy"). The reference protocol
+        # (tools/profile_env.py:1-8) builds obs every step.
         if collect:
-            return state, reward_sum, done_count, traj
-        return state, reward_sum, done_count
+            return state, obs, reward_sum, done_count, traj
+        return state, obs, reward_sum, done_count
 
     return jax.jit(run)
 
@@ -104,7 +110,7 @@ def throughput(
         # fetch a scalar: block_until_ready alone does not reliably block on
         # remote/experimental platforms (observed on the axon TPU tunnel)
         out = run(key)
-        return float(out[1])
+        return float(out[2])  # reward_sum (out = state, obs, rsum, dones)
 
     run_sync(jax.random.key(0))  # compile + warm up
     best = float("inf")
