@@ -42,6 +42,7 @@ def bench_ppo(args):
     rollout phase is timed separately via a collect-only program, so
     update-phase ms = iteration ms - rollout ms."""
     import jax
+    import jax.numpy as jnp
 
     from usv_tpu.envs import make
     from usv_tpu.train.ppo import PpoConfig, PpoLearner
@@ -71,9 +72,17 @@ def bench_ppo(args):
             ts = learner.init(seed=0)
             steps_per_iter = cfg.n_steps * cfg.num_envs
 
-            # phase attribution: collect-only program
+            # phase attribution: collect-only program. Consume EVERY float
+            # in the trajectory — returning only raw_reward lets XLA
+            # dead-code the value-net forward out of the loop and
+            # under-report the rollout phase (docs/PERFORMANCE.md,
+            # dead-tuple-elimination warning).
             collect = jax.jit(
-                lambda t, k: learner._collect(t, k)[1]["raw_reward"]
+                lambda t, k: sum(
+                    jnp.sum(x) for x in jax.tree.leaves(
+                        learner._collect(t, k)[1])
+                    if jnp.issubdtype(x.dtype, jnp.floating)
+                )
             )
             _, dt_collect = timed(collect, ts, jax.random.key(0))
 
