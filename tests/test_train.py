@@ -390,9 +390,11 @@ def test_ppo_cli_at_scale_recipe_resolution():
         ["--recipe", "at-scale", "--total-steps", "100e6"]), p)
     assert (a.num_envs, a.batch_size, a.update_fusion) == (256, 2048, 4)
     assert a.single_shuffle and a.eval_steps == 1000
-    # lr annealed to 0 over the run: iters * opt-steps-per-iter
+    # lr annealed to 0 over the run: iters * opt-steps-per-iter, with iters
+    # counted by ceiling division to match main()'s `while it*spi < total`
+    # loop (a floor would train the final partial iteration at lr=0)
     steps_per_iter = a.n_steps * a.num_envs
-    expect = (int(1e8) // steps_per_iter) * 10 * (
+    expect = -(-int(1e8) // steps_per_iter) * 10 * (
         steps_per_iter // (a.batch_size * a.update_fusion))
     assert a.lr_decay_updates == expect
 
@@ -400,6 +402,13 @@ def test_ppo_cli_at_scale_recipe_resolution():
     b = apply_recipe(p.parse_args(
         ["--recipe", "at-scale", "--update-fusion", "1"]), p)
     assert b.update_fusion == 1
+
+    # --no-single-shuffle requests per-epoch reshuffling even under the
+    # recipe (the flag is three-state; the recipe only fills in None)
+    ns = apply_recipe(p.parse_args(
+        ["--recipe", "at-scale", "--no-single-shuffle",
+         "--total-steps", "100e6"]), p)
+    assert ns.single_shuffle is False
 
     # no recipe: SB3-matching fallbacks
     c = apply_recipe(p.parse_args([]), p)

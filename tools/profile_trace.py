@@ -22,21 +22,28 @@ def main():
     p.add_argument("--steps", type=int, default=512)
     p.add_argument("--env", default="usv-simple")
     p.add_argument("--out", default="/tmp/usv_tpu_trace")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (fast local iteration; the "
+                        "env-var override does not work in this sandbox)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from usv_tpu.envs import make
     from usv_tpu.vector.rollout import rollout_scan
 
     handle = make(args.env)
     run = rollout_scan(handle, args.envs, args.steps)
-    # compile outside the trace
-    float(run(jax.random.key(0))[1])
+    # compile outside the trace; sync via the reward_sum scalar
+    # (run() returns (state, obs, reward_sum, done_count))
+    float(run(jax.random.key(0))[2])
 
     with jax.profiler.trace(args.out):
         out = run(jax.random.key(1))
-        float(out[1])
+        float(out[2])
 
     print(json.dumps({"trace_dir": args.out, "envs": args.envs, "steps": args.steps}))
     print("load with: tensorboard --logdir", args.out)

@@ -15,7 +15,7 @@ import time
 # value — always beats the recipe).
 _ARG_FALLBACKS = dict(
     num_envs=16, batch_size=64, update_fusion=1, eval_steps=500,
-    lr_decay_updates=0,
+    lr_decay_updates=0, single_shuffle=False,
 )
 
 
@@ -36,14 +36,18 @@ def apply_recipe(args, parser=None):
             args.batch_size = 2048
         if args.update_fusion is None:
             args.update_fusion = 4
-        args.single_shuffle = True
+        if args.single_shuffle is None:
+            args.single_shuffle = True
         if args.eval_steps is None:
             args.eval_steps = 1000
         if args.lr_decay_updates is None:
             from usv_tpu.train.ppo import PpoConfig
 
             steps_per_iter = args.n_steps * args.num_envs
-            iters = max(1, int(args.total_steps) // steps_per_iter)
+            # ceiling division: main()'s loop runs while it*steps_per_iter <
+            # total_steps, i.e. a ceiling number of iterations — a floor here
+            # would leave the final partial iteration training at lr=0.
+            iters = max(1, -(-int(args.total_steps) // steps_per_iter))
             opt_per_iter = PpoConfig().n_epochs * max(
                 1, steps_per_iter // (args.batch_size * args.update_fusion)
             )
@@ -69,10 +73,13 @@ def build_parser():
                    help="fold k consecutive minibatches into one optimizer "
                         "step on a k*batch-size batch (MXU-sized updates; "
                         "docs/PERFORMANCE.md PPO update study)")
-    p.add_argument("--single-shuffle", action="store_true",
+    p.add_argument("--single-shuffle", action=argparse.BooleanOptionalAction,
+                   default=None,  # three-state: None = recipe may decide
                    help="one rollout permutation per iteration instead of "
                         "per epoch — cuts the dominant shuffle-gather cost "
-                        "at wide batches (docs/PERFORMANCE.md)")
+                        "at wide batches (docs/PERFORMANCE.md); "
+                        "--no-single-shuffle forces per-epoch reshuffling "
+                        "even under --recipe at-scale")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--frame-stack", type=int, default=5)
     p.add_argument("--logdir", default="runs/ppo")
