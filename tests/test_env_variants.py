@@ -54,11 +54,16 @@ def test_asmc_simple_controller_state_persists():
 def test_aitsmc_simple_tracks_and_reports_debug():
     cfg = SimpleAitsmcEnvConfig()
     state = aitsmc_reset(cfg, jax.random.key(2))
-    assert float(state.base.reference_velocity) == 0.5
+    # the reference sets ref_vel=0.5 only AFTER the reset obs is built
+    # (simple_env_aitsmc.py:40-41): reset keeps the sampled value, the first
+    # step forces 0.5 (and the model starts from ZERO velocity, :43)
+    assert float(state.base.reference_velocity) != 0.5
+    assert float(jnp.max(jnp.abs(state.model_vel))) == 0.0
     jstep = jax.jit(lambda s, a: aitsmc_step(cfg, s, a))
     action = jnp.asarray([0.5, 0.0], dtype=jnp.float32)
     for _ in range(60):
         state, ts = jstep(state, action)
+    assert float(state.base.reference_velocity) == 0.5
     info = ts.info
     for k in ("e_u", "e_r", "Ka_u", "Ka_r", "left_thruster", "right_thruster",
               "setpoint_u", "setpoint_r", "perturb"):

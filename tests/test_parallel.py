@@ -173,6 +173,76 @@ def test_sharded_ppo_iteration_matches_unsharded():
 
 
 # ---------------------------------------------------------------------------
+# PRODUCTION-SHAPE sharded equivalence (VERDICT r2 weak-#1 / next-#3): the
+# toy-shape proofs above leave FP reduction-order drift, the stratified
+# sampler at realistic fill, and aligned-insert invariants at production
+# write-block sizes unexercised. These two run the real shapes: 1024 envs,
+# 400x300 nets, frame_stack 5, shard-local replay at 64k capacity.
+# Measured drift is recorded in docs/SCALING.md ("Production-shape
+# equivalence"). Runtime: ~1-2 min each on the 2-vCPU 8-virtual-device mesh.
+# ---------------------------------------------------------------------------
+
+
+def test_production_shape_sac_sharded_matches_unsharded():
+    """One full SAC round at production shape, shard-local replay ON for
+    BOTH runs (the program is placement-independent; only device layout and
+    hence FP reduction order differs between the sharded and unsharded
+    executions)."""
+    mesh = make_env_mesh()
+    cfg = SacConfig(
+        num_envs=1024, buffer_size=65536, batch_size=256, learning_starts=0,
+        train_freq=8, gradient_steps=8, hidden=(400, 300), frame_stack=5,
+        shard_local_replay=True,
+    )
+    learner = SacLearner(make("usv-simple"), cfg, mesh=mesh)
+
+    ts_plain, r_plain = learner.train_rounds(learner.init(seed=0), 1)
+    ts_shard = shard_sac_train_state(learner.init(seed=0), mesh)
+    ts_shard, r_shard = learner.train_rounds(ts_shard, 1)
+
+    assert int(ts_plain.grad_steps) == int(ts_shard.grad_steps) == 8
+    # local buffers hold exactly T*B/n rows after one round
+    assert int(ts_plain.buffer.size) == int(ts_shard.buffer.size) == \
+        cfg.train_freq * cfg.num_envs // 8
+    np.testing.assert_allclose(float(r_plain), float(r_shard), rtol=1e-4)
+    # measured max drift (see docs/SCALING.md): |actor| 4e-7 abs after 8
+    # updates; gates leave ~30x margin
+    _allclose_tree(ts_plain.actor_params, ts_shard.actor_params,
+                   rtol=1e-4, atol=1e-5)
+    _allclose_tree(ts_plain.critic_params, ts_shard.critic_params,
+                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        float(ts_plain.log_alpha), float(ts_shard.log_alpha),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_production_shape_ppo_sharded_matches_unsharded():
+    """One full PPO iteration at 1024 envs, 400x300-class nets, frame_stack
+    5, wide minibatches (the at-scale recipe's batch 2048), sharded vs
+    unsharded params allclose."""
+    cfg = PpoConfig(
+        n_steps=64, batch_size=2048, n_epochs=2, num_envs=1024,
+        pi_hidden=(400, 300), vf_hidden=(400, 300), frame_stack=5,
+    )
+    learner = PpoLearner(make("usv-simple"), cfg)
+
+    ts_plain, r_plain = learner.train_iteration(learner.init(seed=0))
+
+    mesh = make_env_mesh()
+    ts_shard = shard_ppo_train_state(learner.init(seed=0), mesh)
+    ts_shard, r_shard = learner.train_iteration(ts_shard)
+
+    np.testing.assert_allclose(float(r_plain), float(r_shard),
+                               rtol=1e-4, atol=1e-5)
+    # measured drift: max abs 1.6e-4 (35/600 elements of a bias leaf beyond
+    # the toy gates) after 2 epochs x 32 minibatch updates at batch 2048 —
+    # pure FP reduction-order noise from the sharded wide-batch gradient
+    # sums; recorded in docs/SCALING.md "Production-shape equivalence"
+    _allclose_tree(ts_plain.params, ts_shard.params, rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
 # Shard-local replay (docs/SCALING.md): per-shard insert/sample keeps replay
 # traffic chip-local; the only steady-state collective is the gradient psum.
 # ---------------------------------------------------------------------------
@@ -330,6 +400,71 @@ def test_shard_local_update_replay_traffic_is_batch_independent():
     assert l256 == l32, (l32, l256)
     # and strictly less traffic than global at production-like batch widths
     assert l256 < g256
+
+
+def test_cross_topology_checkpoint_restore(tmp_path):
+    """VERDICT r2 next-#5: restore an 8-shard shard-local checkpoint onto a
+    4-device and a 1-device mesh. Replicated leaves re-layout trivially via
+    the template's shardings; the shard-local buffer's block structure is
+    re-flattened by ``buffer_reshard_local`` (content-preserving), and
+    training continues on the new topology."""
+    from usv_tpu.train.buffer import buffer_reshard_local
+    from usv_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    mesh8 = make_env_mesh()
+    learner8 = _local_learner(mesh8)
+    ts = shard_sac_train_state(learner8.init(seed=0), mesh8)
+    ts, _ = learner8.train_rounds(ts, 4)
+    cap = ts.buffer.obs.shape[0]
+    src_size = int(ts.buffer.size)          # 16 local rows per 8 shards
+    save_checkpoint(tmp_path / "ckpt", ts, 5)
+
+    def rows(buf, n):
+        """Multiset of valid obs rows across all shard blocks."""
+        local = cap // n
+        blocks = np.asarray(buf.obs).reshape(n, local, -1)
+        got = blocks[:, :int(buf.size)].reshape(-1, blocks.shape[-1])
+        return got[np.lexsort(got.T)]
+
+    src_rows = rows(ts.buffer, 8)
+
+    for n_dst in (4, 1):
+        mesh_d = make_env_mesh(jax.devices()[:n_dst])
+        cfg = learner8.cfg
+        learner_d = SacLearner(make("usv-simple"), cfg, mesh=mesh_d)
+        template = shard_sac_train_state(learner_d.init(seed=1), mesh_d)
+        restored, step = restore_checkpoint(tmp_path / "ckpt", template)
+        assert step == 5
+        # params came from the checkpoint, placed by the template's sharding
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(restored.actor_params)[0]),
+            np.asarray(jax.tree.leaves(ts.actor_params)[0]),
+        )
+        # naive use of the 8-block buffer on n_dst shards would be wrong —
+        # re-flatten, then verify the logical content is preserved exactly
+        restored = restored.replace(
+            buffer=buffer_reshard_local(restored.buffer, 8, n_dst)
+        )
+        assert int(restored.buffer.size) == 8 * src_size // n_dst
+        np.testing.assert_array_equal(rows(restored.buffer, n_dst), src_rows)
+        # training continues on the new topology (aligned inserts + sampling)
+        restored, reward = learner_d.train_rounds(restored, 2)
+        assert np.isfinite(float(reward))
+        assert int(restored.buffer.size) == 8 * src_size // n_dst \
+            + 2 * 2 * 16 // n_dst
+
+
+def test_buffer_reshard_local_refuses_undefined_layouts():
+    from usv_tpu.train.buffer import buffer_init, buffer_reshard_local
+
+    buf = buffer_init(64, 3, 2)
+    with np.testing.assert_raises(ValueError):
+        buffer_reshard_local(buf, 7, 2)      # capacity 64 % 7 != 0
+    with np.testing.assert_raises(ValueError):
+        buffer_reshard_local(buf, 8, 3)      # capacity 64 % 3 != 0
+    buf = buf.replace(size=jnp.asarray(3, jnp.int32))
+    with np.testing.assert_raises(ValueError):
+        buffer_reshard_local(buf, 4, 8)      # 4*3 = 12 rows % 8 shards != 0
 
 
 def test_shard_local_sac_trains():

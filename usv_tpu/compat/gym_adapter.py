@@ -113,17 +113,21 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
             ov = seed_replay.simple_scene_from_seed(
                 self.handle.cfg, seed, options
             )
-            state = seed_replay.apply_simple_overrides(state, ov)
-            if env_id == "usv-aitsmc-simple":
-                # the reference overwrites the sampled reference_velocity
-                # with 0.5 AFTER super().reset (simple_env_aitsmc.py:41)
-                state = state.replace(base=state.base.replace(
-                    reference_velocity=jnp.asarray(0.5, jnp.float32)
-                ))
-            return state
+            # (usv-aitsmc-simple keeps the SAMPLED reference_velocity here:
+            # the reference only overwrites it to 0.5 after the reset obs is
+            # built, which our core now replicates inside step —
+            # envs/simple_aitsmc.py)
+            return seed_replay.apply_simple_overrides(state, ov)
         if env_id in seed_replay._LEGACY_RANGES:
             pose, target = seed_replay.legacy_scene_from_seed(env_id, seed)
             return seed_replay.apply_legacy_scene(state, pose, target)
+        if env_id == "usv-asmc-ca-v0":
+            # the CA env draws from the GLOBAL np.random stream like the
+            # legacy trio (usv_asmc_ca_env.py:331-356); the replayed scene
+            # replaces the sampled one and the reference's bootstrap step
+            # re-runs from it
+            scene = seed_replay.ca_scene_from_seed(self.handle.cfg, seed)
+            return seed_replay.apply_ca_scene(self.handle.cfg, state, scene)
         raise NotImplementedError(
             f"reference_reset_sampling not supported for {env_id}"
         )

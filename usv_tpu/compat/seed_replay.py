@@ -14,10 +14,11 @@ Two reference RNG regimes exist:
   replayed by :func:`simple_scene_from_seed` in the reference's exact draw
   order (:233-295), including the two draws that are consumed and then
   overwritten (:235-237).
-* the legacy trio draws from the GLOBAL legacy ``np.random`` state
-  (usv_asmc_env.py:260-279 etc.) and accepts no seed; the reproducible
-  protocol is ``np.random.seed(s); env.reset()``, replayed by
-  :func:`legacy_scene_from_seed` with a ``RandomState(s)`` (same MT19937).
+* the legacy trio AND the CA env draw from the GLOBAL legacy ``np.random``
+  state (usv_asmc_env.py:260-279, usv_asmc_ca_env.py:331-356); the
+  reproducible protocol is ``np.random.seed(s); env.reset()``, replayed by
+  :func:`legacy_scene_from_seed` / :func:`ca_scene_from_seed` with a
+  ``RandomState(s)`` (same MT19937).
 
 Used by ``tests/test_seed_parity.py`` (assert vs the reference's actual
 classes) and by the gymnasium adapters' ``reference_reset_sampling`` flag.
@@ -159,6 +160,106 @@ def legacy_scene_from_seed(env_id: str, seed):
     pose = np.array([x, y, psi], np.float32)
     target = np.array([x_0, y_0, desired_speed, ak, x_d, y_d], np.float32)
     return pose, target
+
+
+def ca_scene_from_seed(cfg, seed):
+    """Replay ``np.random.seed(seed); UsvAsmcCaEnv.reset()`` — the CA env
+    draws from the GLOBAL legacy stream (usv_asmc_ca_env.py:331-356), so the
+    reproducible protocol matches the legacy trio: a ``RandomState(seed)``
+    replays position, target, obstacle draws and the two prune passes
+    (:376-398) exactly.
+
+    Returns a dict: ``position`` (3,), ``target_point`` (2,), ``obs_x`` /
+    ``obs_y`` / ``obs_r`` (n,), ``num_obs`` — the scene as it stands right
+    before the reference's bootstrap step (:402).
+    """
+    rs = np.random.RandomState(seed)
+    x = rs.uniform(low=cfg.min_x, high=cfg.max_x)                    # :331
+    y = rs.uniform(low=cfg.min_y, high=cfg.min_y + 5.0)              # :332
+    theta = rs.uniform(low=-np.pi / 4, high=np.pi / 4)               # :333
+    position = np.array([x, y, theta])
+
+    target = rs.uniform(                                             # :343-346
+        low=(cfg.min_x, cfg.max_y - 5.0),
+        high=(cfg.max_x - 10.0, cfg.max_y - 1.0),
+        size=2,
+    )
+
+    num_obs = int(rs.uniform(2, 10))                                 # :349
+    center_x = np.average([position[0], target[0]])                  # :353
+    center_y = np.average([position[1], target[1]])
+    obs_r = rs.uniform(1, 2, num_obs)                                # :354
+    obs_x = rs.normal(loc=center_x, size=num_obs, scale=10)          # :355
+    obs_y = rs.normal(loc=center_y, size=num_obs, scale=10)          # :356
+
+    # prune passes (:376-398); margin = boat + safety + 0.35
+    margin = cfg.boat_radius + cfg.safety_radius + 0.35
+    keep = (np.hypot(obs_x - x, obs_y - y) - obs_r - margin) >= 0
+    obs_x, obs_y, obs_r = obs_x[keep], obs_y[keep], obs_r[keep]
+    keep = (np.hypot(obs_x - target[0], obs_y - target[1]) - obs_r - margin) >= 0
+    obs_x, obs_y, obs_r = obs_x[keep], obs_y[keep], obs_r[keep]
+
+    return dict(
+        position=position,
+        target_point=target,
+        obs_x=obs_x,
+        obs_y=obs_y,
+        obs_r=obs_r,
+        num_obs=len(obs_r),
+    )
+
+
+def apply_ca_scene(cfg, state, scene):
+    """Rebuild a pre-bootstrap ``CaEnvState`` from a replayed/injected scene
+    and run the reference's bootstrap step ([-1, 0], usv_asmc_ca_env.py:402).
+
+    ``state`` supplies the pytree skeleton (and keeps its jax key); every
+    episode-dependent field is reset exactly as the reference's reset leaves
+    it before the bootstrap: fresh controller (:380), fresh model at the
+    drawn pose (:336), zeroed filter window (:338-339) and action history
+    (:341)."""
+    import jax.numpy as jnp
+
+    from usv_tpu.control.asmc import init_asmc
+    from usv_tpu.envs import asmc_ca
+
+    n = int(scene["num_obs"])
+    cap = cfg.obstacle_cap
+    if n > cap:
+        raise ValueError(
+            f"scene has {n} obstacles > obstacle_cap {cap}; raise the cap"
+        )
+    obs_xy = np.zeros((cap, 2), np.float32)
+    obs_r = np.full((cap,), 1.0, np.float32)
+    mask = np.zeros((cap,), bool)
+    obs_xy[:n, 0] = np.asarray(scene["obs_x"], np.float32).reshape(-1)
+    obs_xy[:n, 1] = np.asarray(scene["obs_y"], np.float32).reshape(-1)
+    obs_r[:n] = np.asarray(scene["obs_r"], np.float32).reshape(-1)
+    mask[:n] = True
+
+    state = state.replace(
+        ctrl=init_asmc(),
+        dyn=state.dyn.replace(
+            pose=jnp.asarray(scene["position"], jnp.float32),
+            vel=jnp.zeros(3, jnp.float32),
+            accel_last=jnp.zeros(3, jnp.float32),
+            eta_dot_last=jnp.zeros(3, jnp.float32),
+        ),
+        target_point=jnp.asarray(
+            np.asarray(scene["target_point"], np.float32)[:2]
+        ),
+        obs_xy=jnp.asarray(obs_xy),
+        obs_r=jnp.asarray(obs_r),
+        obs_mask=jnp.asarray(mask),
+        action_history=jnp.zeros(2, jnp.float32),
+        filter_window=jnp.zeros_like(state.filter_window),
+        filter_window_i=jnp.zeros((), jnp.int32),
+        sensor_dist=jnp.full(cfg.sensor_num, cfg.sensor_max_range, jnp.float32),
+        state_vec=jnp.zeros(cfg.obs_dim, jnp.float32),
+        perturb_step=jnp.zeros((), jnp.int32),
+        step_count=jnp.zeros((), jnp.int32),
+    )
+    return asmc_ca.bootstrap(cfg, state)
 
 
 def apply_simple_overrides(state, overrides):

@@ -173,15 +173,22 @@ def _build_core(cfg: CaEnvConfig, key) -> CaEnvState:
     )
 
 
-def reset(cfg: CaEnvConfig, key) -> CaEnvState:
-    """Sample a scene, then take one step with action [-1, 0] (reference :402)."""
-    state = _build_core(cfg, key)
+def bootstrap(cfg: CaEnvConfig, state: CaEnvState) -> CaEnvState:
+    """The reference reset's trailing real step with action [-1, 0]
+    (usv_asmc_ca_env.py:402); exposed separately so scene injection
+    (compat/seed_replay.apply_ca_scene) can rebuild a pre-bootstrap state
+    and then run the exact same bootstrap."""
     state, _ts = step(cfg, state, jnp.asarray([-1.0, 0.0], jnp.float32))
     # the bootstrap step must not consume episode budget or perturb window
     return state.replace(
         step_count=jnp.zeros((), jnp.int32),
         perturb_step=jnp.zeros((), jnp.int32),
     )
+
+
+def reset(cfg: CaEnvConfig, key) -> CaEnvState:
+    """Sample a scene, then take one step with action [-1, 0] (reference :402)."""
+    return bootstrap(cfg, _build_core(cfg, key))
 
 
 def reset_obs(cfg: CaEnvConfig, state: CaEnvState):

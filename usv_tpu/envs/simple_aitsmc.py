@@ -60,18 +60,28 @@ class SimpleAitsmcEnvState:
     ctrl: AitsmcState
     accel_last: jnp.ndarray
     eta_dot_last: jnp.ndarray
+    # the C++ model's own velocity: the reference recreates DynamicModel at
+    # the drawn pose with ZERO velocity (simple_env_aitsmc.py:43) — the base
+    # reset's sampled velocity reaches only the reset obs, never the model
+    model_vel: jnp.ndarray
     perturb_step: jnp.ndarray  # () int32
 
 
 def reset(cfg: SimpleAitsmcEnvConfig, key) -> SimpleAitsmcEnvState:
-    """Base reset; ref_vel=0.5, fresh controller+model (ref :39-47)."""
+    """Base reset; fresh controller+model (ref :39-47).
+
+    The reference sets ``reference_velocity = 0.5`` AFTER ``super().reset``
+    has already built the reset obs/info (simple_env_aitsmc.py:40-41), so
+    the reset observation carries the *sampled* value and every subsequent
+    step uses 0.5 — replicated here by forcing 0.5 inside :func:`step`
+    rather than at reset."""
     base = simple.reset(cfg, key)
-    base = base.replace(reference_velocity=jnp.asarray(0.5, jnp.float32))
     return SimpleAitsmcEnvState(
         base=base,
         ctrl=init_aitsmc(),
         accel_last=jnp.zeros(3, dtype=jnp.float32),
         eta_dot_last=jnp.zeros(3, dtype=jnp.float32),
+        model_vel=jnp.zeros(3, dtype=jnp.float32),
         perturb_step=jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -109,7 +119,7 @@ def step(
         ctrl=state.ctrl,
         dyn=DynamicsState(
             pose=state.base.position,
-            vel=state.base.velocity,
+            vel=state.model_vel,
             accel_last=state.accel_last,
             eta_dot_last=state.eta_dot_last,
         ),
@@ -123,6 +133,9 @@ def step(
         position=loop.dyn.pose,
         velocity=loop.dyn.vel,
         max_action=jnp.ones(3, dtype=jnp.float32),  # ref :103
+        # ref :41 — every post-reset step runs with reference_velocity 0.5
+        # (the sampled value only ever reaches the reset obs/info)
+        reference_velocity=jnp.asarray(0.5, jnp.float32),
     )
     base, ts = simple.step(cfg, base, action, update_position=False)
 
@@ -153,6 +166,7 @@ def step(
         ctrl=loop.ctrl,
         accel_last=loop.dyn.accel_last,
         eta_dot_last=loop.dyn.eta_dot_last,
+        model_vel=loop.dyn.vel,
         perturb_step=state.perturb_step + 1,
     )
     return new_state, TimeStep(

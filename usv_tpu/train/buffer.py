@@ -196,6 +196,66 @@ def buffer_sample_local(buf: ReplayBuffer, key, batch_size: int, mesh,
     )(_data_dict(buf), buf.size, key)
 
 
+def buffer_reshard_local(buf: ReplayBuffer, n_src: int, n_dst: int):
+    """Re-layout a SHARD-LOCAL buffer's logical content from ``n_src`` to
+    ``n_dst`` shard blocks (cross-topology checkpoint restore — pod resize,
+    preemption onto a smaller slice; docs/SCALING.md "Cross-topology
+    restore").
+
+    A shard-local buffer's capacity axis is ``n`` contiguous blocks; the
+    scalar ``ptr``/``size`` counters are per-shard-LOCAL (identical on every
+    shard because inserts are uniform). Restoring such a buffer onto a mesh
+    with a different shard count would silently misinterpret the block
+    structure, so this function re-flattens: collect each source block's
+    valid rows oldest-first, concatenate (shard-major), and redistribute
+    into ``n_dst`` equal blocks. Total capacity and logical content are
+    preserved; only the block partitioning (and hence which shard samples
+    which row) changes — sampling remains uniform over the same row set.
+
+    Raises ``ValueError`` when the re-layout is not well defined: capacity
+    not divisible by either shard count, or the total row count not evenly
+    divisible across the destination shards (refuse-and-explain rather than
+    silently drop rows).
+    """
+    cap = buf.obs.shape[0]
+    if n_src < 1 or n_dst < 1 or cap % n_src or cap % n_dst:
+        raise ValueError(
+            f"capacity {cap} must divide both shard counts "
+            f"(src {n_src}, dst {n_dst})"
+        )
+    if n_src == n_dst:
+        return buf
+    local_src, local_dst = cap // n_src, cap // n_dst
+    size = int(buf.size)
+    ptr = int(buf.ptr)
+    total = n_src * size
+    if total % n_dst:
+        raise ValueError(
+            f"cannot reshard: {n_src} shards x {size} local rows = {total} "
+            f"total rows does not divide {n_dst} destination shards; train "
+            f"for a whole number of insert blocks first"
+        )
+    size_dst = total // n_dst  # <= local_dst since total <= cap
+
+    def re(x):
+        blocks = x.reshape((n_src, local_src) + x.shape[1:])
+        if size == local_src and ptr != 0:
+            # full ring: oldest row sits at ptr
+            blocks = jnp.roll(blocks, -ptr, axis=1)
+        rows = blocks[:, :size].reshape((total,) + x.shape[1:])
+        out = jnp.zeros((n_dst, local_dst) + x.shape[1:], x.dtype)
+        out = out.at[:, :size_dst].set(
+            rows.reshape((n_dst, size_dst) + x.shape[1:])
+        )
+        return out.reshape(x.shape)
+
+    return buf.replace(
+        ptr=jnp.asarray(size_dst % local_dst, jnp.int32),
+        size=jnp.asarray(size_dst, jnp.int32),
+        **{k: re(v) for k, v in _data_dict(buf).items()},
+    )
+
+
 def _data_dict(buf: ReplayBuffer) -> dict:
     return dict(obs=buf.obs, action=buf.action, reward=buf.reward,
                 next_obs=buf.next_obs, done=buf.done)
