@@ -410,6 +410,17 @@ def test_ppo_cli_at_scale_recipe_resolution():
          "--total-steps", "100e6"]), p)
     assert ns.single_shuffle is False
 
+    # per-family fusion depth: the CA env is update-granularity-sensitive
+    # (k4 costs 17 points of arrivals, docs/PERFORMANCE.md) — the recipe
+    # resolves to k1 there, still overridable explicitly
+    ca = apply_recipe(p.parse_args(
+        ["--recipe", "at-scale", "--env", "usv-asmc-ca-v0"]), p)
+    assert ca.update_fusion == 1 and ca.single_shuffle
+    ca2 = apply_recipe(p.parse_args(
+        ["--recipe", "at-scale", "--env", "usv-asmc-ca-v0",
+         "--update-fusion", "4"]), p)
+    assert ca2.update_fusion == 4
+
     # no recipe: SB3-matching fallbacks
     c = apply_recipe(p.parse_args([]), p)
     assert (c.num_envs, c.batch_size, c.update_fusion) == (16, 64, 1)

@@ -25,17 +25,25 @@ def apply_recipe(args, parser=None):
 
     ``at-scale``: the measured-best wide-batch recipe (docs/PERFORMANCE.md,
     "PPO update-path study" + the per-env at-scale quality studies): 256
-    envs, minibatch 2048 with 4-way update fusion, one shuffle per
-    iteration, and lr linearly annealed to 0 over the whole run (the decay
-    horizon is derived from total steps and the update geometry).
+    envs, minibatch 2048, one shuffle per iteration, and lr linearly
+    annealed to 0 over the whole run (the decay horizon is derived from
+    total steps and the update geometry). The fusion depth is per-family:
+    k4 on usv-simple-class tasks (quality-neutral at ~2x rate), k1 on the
+    update-granularity-sensitive CA env, where k4 costs 17 points of
+    arrivals and the right trade is k1 + single shuffle + spending the 2x
+    rate on budget (docs/PERFORMANCE.md "the fused recipe on CA").
     """
+    # families measured as update-granularity-sensitive (fusion hurts)
+    _GRANULARITY_SENSITIVE = ("usv-asmc-ca-v0",)
     if args.recipe == "at-scale":
         if args.num_envs is None:
             args.num_envs = 256
         if args.batch_size is None:
             args.batch_size = 2048
         if args.update_fusion is None:
-            args.update_fusion = 4
+            args.update_fusion = (
+                1 if args.env in _GRANULARITY_SENSITIVE else 4
+            )
         if args.single_shuffle is None:
             args.single_shuffle = True
         if args.eval_steps is None:
