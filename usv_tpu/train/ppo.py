@@ -75,6 +75,15 @@ class PpoConfig:
     # envs terminate with reward 0 and auto-reset instead of poisoning the
     # on-policy batch with NaN. Default ON.
     sanitize_envs: bool = True
+    # Store the flattened rollout OBSERVATIONS in bf16 for the update phase.
+    # The n_epochs minibatch sweeps re-read the (n_steps*num_envs, obs)
+    # array every epoch — 1.5 GB/epoch at the at-scale shape — and that HBM
+    # stream, not the MXU, is the non-matmul half of the update cost
+    # (docs/PERFORMANCE.md SOL accounting). bf16 halves it; the first-layer
+    # matmul runs bf16 passes on the MXU anyway, so the only precision loss
+    # is the 8-bit observation mantissa (actions/logp/adv/ret stay f32 —
+    # the PPO ratio is exp(logp - logp_old) and must not be quantized).
+    rollout_obs_bf16: bool = False
 
 
 @struct.dataclass
@@ -274,8 +283,9 @@ class PpoLearner:
         advs, returns = self._gae(traj, last_value, cfg.gamma, cfg.gae_lambda)
 
         n_total = cfg.n_steps * cfg.num_envs
+        obs_dtype = jnp.bfloat16 if cfg.rollout_obs_bf16 else jnp.float32
         flat = dict(
-            obs=traj["obs"].reshape(n_total, -1),
+            obs=traj["obs"].reshape(n_total, -1).astype(obs_dtype),
             action=traj["action"].reshape(n_total, -1),
             logp=traj["logp"].reshape(n_total),
             adv=advs.reshape(n_total),

@@ -96,6 +96,10 @@ def build_parser():
     p.add_argument("--ignore-obstacles", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MLP compute on the MXU (params stay f32)")
+    p.add_argument("--obs-bf16", action="store_true",
+                   help="store rollout observations in bf16 for the update "
+                        "phase (halves the dominant per-epoch HBM stream; "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--video-every-iters", type=int, default=0,
                    help="record a policy episode video every N iterations")
     p.add_argument("--watch-every-iters", type=int, default=20,
@@ -138,6 +142,7 @@ def main(argv=None):
         num_envs=args.num_envs,
         frame_stack=args.frame_stack,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        rollout_obs_bf16=args.obs_bf16,
         lr_decay_updates=args.lr_decay_updates or None,
         update_fusion=args.update_fusion,
         reshuffle_epochs=not args.single_shuffle,
