@@ -48,8 +48,18 @@ def sensor_angles(psi, sensor_count: int, sensor_span: float = (2.0 / 3.0) * 2.0
 def _ray_frame_hits(position, obs_xy, obs_r, obs_mask, sensor_count, sensor_span):
     """Shared geometry: returns (dist, valid) of shape (..., R, K)."""
     psi = position[..., 2]
-    angles = sensor_angles(psi, sensor_count, sensor_span)  # (..., R)
-    c, s = jnp.cos(angles), jnp.sin(angles)
+    # cos/sin of (psi + ray_offset) via the addition identity: the per-ray
+    # cos/sin are compile-time constants, so the (..., R) transcendental
+    # sweeps collapse to 2 per env + FMAs (same trick as the Pallas kernel
+    # v3, raycast_pallas.py)
+    resolution = sensor_span / sensor_count
+    base = -2.0 * np.pi / 3.0 + np.arange(sensor_count) * resolution
+    ray_c = jnp.asarray(np.cos(base), jnp.float32)
+    ray_s = jnp.asarray(np.sin(base), jnp.float32)
+    cp = jnp.cos(psi)[..., None]
+    sp = jnp.sin(psi)[..., None]
+    c = cp * ray_c - sp * ray_s     # (..., R)
+    s = sp * ray_c + cp * ray_s
 
     n = obs_xy - position[..., None, :2]  # (..., K, 2)
     nx, ny = n[..., 0], n[..., 1]
