@@ -454,7 +454,12 @@ def test_cross_topology_checkpoint_restore(tmp_path):
         # naive use of the 8-block buffer on n_dst shards would be wrong —
         # re-flatten, then verify the logical content is preserved exactly
         restored = restored.replace(
-            buffer=buffer_reshard_local(restored.buffer, 8, n_dst)
+            buffer=buffer_reshard_local(
+                restored.buffer, 8, n_dst,
+                # destination write block: refuse up front if the resharded
+                # head would misalign future DUS inserts
+                insert_rows=cfg.train_freq * cfg.num_envs // n_dst,
+            )
         )
         assert int(restored.buffer.size) == 8 * src_size // n_dst
         np.testing.assert_array_equal(rows(restored.buffer, n_dst), src_rows)
@@ -476,6 +481,13 @@ def test_buffer_reshard_local_refuses_undefined_layouts():
     buf = buf.replace(size=jnp.asarray(3, jnp.int32))
     with np.testing.assert_raises(ValueError):
         buffer_reshard_local(buf, 4, 8)      # 4*3 = 12 rows % 8 shards != 0
+    # destination write head misaligned with the future insert block
+    buf = buf.replace(size=jnp.asarray(4, jnp.int32))
+    with np.testing.assert_raises(ValueError):
+        buffer_reshard_local(buf, 4, 2, insert_rows=3)  # head 8 % 3 != 0
+    # aligned case passes
+    out = buffer_reshard_local(buf, 4, 2, insert_rows=4)
+    assert int(out.size) == 8
 
 
 def test_shard_local_sac_trains():

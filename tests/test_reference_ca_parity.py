@@ -267,6 +267,27 @@ def test_ca_scripted_obstacle_options_parity():
     assert steps >= 30
 
 
+def test_ca_seed_replay_honors_place_obstacles_flag():
+    """place_obstacles=False (this repo's config knob; the reference
+    hardcodes True at :29) must also zero the seed-replayed obstacle set —
+    num_obs is zeroed BEFORE the size-num_obs draws, so the RNG stream
+    position is unchanged (size-0 draws consume nothing)."""
+    import numpy as np
+
+    from usv_tpu.compat.seed_replay import ca_scene_from_seed
+    from usv_tpu.envs import make
+
+    on = make("usv-asmc-ca-v0").cfg
+    off = make("usv-asmc-ca-v0", place_obstacles=False).cfg
+    s_on = ca_scene_from_seed(on, 3)
+    s_off = ca_scene_from_seed(off, 3)
+    assert s_on["num_obs"] > 0
+    assert s_off["num_obs"] == 0 and len(s_off["obs_r"]) == 0
+    # non-obstacle draws (which precede num_obs) are identical
+    np.testing.assert_array_equal(s_on["position"], s_off["position"])
+    np.testing.assert_array_equal(s_on["target_point"], s_off["target_point"])
+
+
 def test_ca_adapter_reference_reset_sampling():
     """The gymnasium adapter's ``reference_reset_sampling=True`` path: a
     seed alone reproduces the reference episode through the public API."""

@@ -71,13 +71,14 @@ def main():
         summary["recorded_unix"] = int(time.time())
         summary["host"] = platform.node()
         try:
-            summary["git"] = subprocess.run(
+            rev = subprocess.run(
                 ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True,
+                capture_output=True, text=True, check=True,
                 cwd=Path(__file__).resolve().parent,
-            ).stdout.strip()
-        except OSError:
-            pass
+            )
+            summary["git"] = rev.stdout.strip()
+        except (OSError, subprocess.CalledProcessError):
+            pass  # omit provenance rather than record an empty string
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         Path(out_path).write_text(json.dumps(summary, indent=1))
         print(f"wrote {out_path}")

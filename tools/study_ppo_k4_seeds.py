@@ -24,42 +24,19 @@ import time
 
 
 def bundle_eval(env_id, policy_dir, steps=1000, episodes=16, seed=0):
-    """The run_eval batched summary metric (reward/step), standalone."""
-    import jax
-    import jax.numpy as jnp
-
+    """The run_eval batched summary metric (reward/step) — the SAME
+    implementation the CLI uses (evaluate.batch_policy_metrics), so the
+    artifact numbers cannot desynchronize from the quoted protocol."""
     from usv_tpu.envs import make
-    from usv_tpu.envs.autoreset import make_autoreset_step
+    from usv_tpu.train.evaluate import batch_policy_metrics
     from usv_tpu.train.policy import load_policy
-    from usv_tpu.vector.frames import init_frames, push_frames
 
-    handle = make(env_id)
-    cfg = handle.cfg
     policy = load_policy(policy_dir)
-    stack = max(1, policy.frame_stack)
-    auto = jax.vmap(
-        make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+    metrics = batch_policy_metrics(
+        make(env_id), policy, n_steps=steps, num_envs=episodes,
+        seed=seed, frame_stack=policy.frame_stack,
     )
-
-    @jax.jit
-    def run(key):
-        state = jax.vmap(lambda k: handle.reset(cfg, k))(
-            jax.random.split(key, episodes)
-        )
-        obs0 = jax.vmap(lambda s: handle.reset_obs(cfg, s))(state)
-        frames = init_frames(obs0, stack)
-
-        def body(carry, _):
-            state, frames = carry
-            actions = policy(frames.reshape(episodes, -1))
-            state, ts = auto(state, actions)
-            return (state, push_frames(frames, ts.obs, ts.done)), \
-                jnp.sum(ts.reward)
-
-        _, r = jax.lax.scan(body, (state, frames), None, length=steps)
-        return jnp.sum(r)
-
-    return float(run(jax.random.key(seed + 1))) / (steps * episodes)
+    return metrics["reward_per_step"]
 
 
 def main():

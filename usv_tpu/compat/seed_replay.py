@@ -186,6 +186,11 @@ def ca_scene_from_seed(cfg, seed):
     )
 
     num_obs = int(rs.uniform(2, 10))                                 # :349
+    if not getattr(cfg, "place_obstacles", True):
+        # mirror _build_core / the reference's `if not self.place_obstacles`
+        # (:350-351): num_obs zeroed BEFORE the size-num_obs draws, so the
+        # stream position stays identical (size-0 draws consume nothing)
+        num_obs = 0
     center_x = np.average([position[0], target[0]])                  # :353
     center_y = np.average([position[1], target[1]])
     obs_r = rs.uniform(1, 2, num_obs)                                # :354

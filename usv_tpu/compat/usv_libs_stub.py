@@ -204,6 +204,8 @@ def update_controller_and_model_n(model: DynamicModel, asmc: ASMC,
             heading_error=heading_error,
             speed_gain=a[8],
             heading_gain=a[9],
+            # sigma_u = e_u + lambda_u * e_u_int, lambda_u = 0.001
+            speed_sigma=a[6] + 0.001 * a[7],
             # sigma_psi = (r_d - r) + lambda_psi * e_psi, lambda_psi = 1
             heading_sigma=(a[1] - r0) + heading_error,
             Tx=(tport + _C * tstbd),

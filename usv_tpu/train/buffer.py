@@ -196,7 +196,8 @@ def buffer_sample_local(buf: ReplayBuffer, key, batch_size: int, mesh,
     )(_data_dict(buf), buf.size, key)
 
 
-def buffer_reshard_local(buf: ReplayBuffer, n_src: int, n_dst: int):
+def buffer_reshard_local(buf: ReplayBuffer, n_src: int, n_dst: int,
+                         insert_rows: int | None = None):
     """Re-layout a SHARD-LOCAL buffer's logical content from ``n_src`` to
     ``n_dst`` shard blocks (cross-topology checkpoint restore — pod resize,
     preemption onto a smaller slice; docs/SCALING.md "Cross-topology
@@ -216,6 +217,15 @@ def buffer_reshard_local(buf: ReplayBuffer, n_src: int, n_dst: int):
     not divisible by either shard count, or the total row count not evenly
     divisible across the destination shards (refuse-and-explain rather than
     silently drop rows).
+
+    ``insert_rows`` (recommended): the destination learner's per-shard
+    write-block size, ``train_freq * num_envs // n_dst`` for SAC. The
+    aligned ``dynamic_update_slice`` insert path requires the write head to
+    stay a multiple of the block — a requirement every uniform-geometry run
+    maintains by construction, but which a reshard can silently break when
+    the new topology changes the block size (a misaligned head eventually
+    CLAMPS a wrapping insert and corrupts rows without any error). Passing
+    ``insert_rows`` makes this function refuse such a restore up front.
     """
     cap = buf.obs.shape[0]
     if n_src < 1 or n_dst < 1 or cap % n_src or cap % n_dst:
@@ -236,6 +246,16 @@ def buffer_reshard_local(buf: ReplayBuffer, n_src: int, n_dst: int):
             f"for a whole number of insert blocks first"
         )
     size_dst = total // n_dst  # <= local_dst since total <= cap
+    if insert_rows is not None:
+        local_dst_cap = cap // n_dst
+        if local_dst_cap % insert_rows or size_dst % insert_rows:
+            raise ValueError(
+                f"resharded write head {size_dst} (local capacity "
+                f"{local_dst_cap}) is not aligned to the destination "
+                f"insert block of {insert_rows} rows; continuing would "
+                f"corrupt wrapping inserts — adjust num_envs/train_freq "
+                f"or the shard count so the block divides both"
+            )
 
     def re(x):
         blocks = x.reshape((n_src, local_src) + x.shape[1:])

@@ -21,6 +21,74 @@ from usv_tpu.envs.registry import EnvHandle
 from usv_tpu.vector.frames import init_frames, push_frames
 
 
+def batch_policy_metrics(
+    handle: EnvHandle,
+    batch_policy_fn: Callable,
+    n_steps: int,
+    num_envs: int,
+    seed: int = 0,
+    frame_stack: int = 1,
+):
+    """Batched frame-stacked deterministic rollout -> summary metrics.
+
+    One jitted device program (vmapped autoreset scan); the canonical eval
+    protocol behind both the ``run_eval`` CLI summary and the seed-study
+    artifacts (tools/study_ppo_k4_seeds.py) — a single implementation so
+    the quoted numbers can never desynchronize.
+
+    Returns a dict with ``reward_per_step``, ``episodes_finished``,
+    ``terminations``, ``truncations``, and ``info_<flag>`` counts for every
+    per-env boolean info flag (e.g. the CA env's arrived/collision).
+    """
+    import jax.numpy as jnp
+
+    cfg = handle.cfg
+    auto = jax.vmap(
+        make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
+    )
+    stack = max(1, frame_stack)
+
+    @jax.jit
+    def run(key):
+        state = jax.vmap(lambda k: handle.reset(cfg, k))(
+            jax.random.split(key, num_envs)
+        )
+        obs0 = jax.vmap(lambda s: handle.reset_obs(cfg, s))(state)
+        frames = init_frames(obs0, stack)
+
+        def body(carry, _):
+            state, frames = carry
+            actions = batch_policy_fn(frames.reshape(num_envs, -1))
+            state, ts = auto(state, actions)
+            new_frames = push_frames(frames, ts.obs, ts.done)
+            flags = {
+                k: jnp.sum(v) for k, v in ts.info.items()
+                if hasattr(v, "dtype") and v.dtype == jnp.bool_ and v.ndim == 1
+            }
+            out = (
+                jnp.sum(ts.reward), jnp.sum(ts.done), jnp.sum(ts.terminated),
+                flags,
+            )
+            return (state, new_frames), out
+
+        _, (r, d, t, flags) = jax.lax.scan(
+            body, (state, frames), None, length=n_steps
+        )
+        return (
+            jnp.sum(r), jnp.sum(d), jnp.sum(t),
+            {k: jnp.sum(v) for k, v in flags.items()},
+        )
+
+    reward_sum, done_sum, term_sum, flag_sums = run(jax.random.key(seed + 1))
+    return dict(
+        reward_per_step=float(reward_sum) / (n_steps * num_envs),
+        episodes_finished=int(done_sum),
+        terminations=int(term_sum),
+        truncations=int(done_sum) - int(term_sum),
+        **{f"info_{k}": int(v) for k, v in sorted(flag_sums.items())},
+    )
+
+
 def rollout_with_info(
     handle: EnvHandle,
     policy_fn: Callable,

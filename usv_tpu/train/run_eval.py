@@ -35,13 +35,14 @@ def main(argv=None):
                    help="also render an episode video (host-side)")
     args = p.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
 
     from usv_tpu.envs import make
-    from usv_tpu.envs.autoreset import make_autoreset_step
-    from usv_tpu.train.evaluate import plot_diagnostics, rollout_with_info
-    from usv_tpu.vector.frames import init_frames, push_frames
+    from usv_tpu.train.evaluate import (
+        batch_policy_metrics,
+        plot_diagnostics,
+        rollout_with_info,
+    )
 
     handle = make(args.env)
     out = Path(args.out)
@@ -71,60 +72,20 @@ def main(argv=None):
     )
     fig_path = plot_diagnostics(trace, out_path=str(out / "diagnostics.png"))
 
-    # 2) batched frame-stacked rollout -> summary metrics (one device program)
-    cfg = handle.cfg
-    auto = jax.vmap(
-        make_autoreset_step(cfg, handle.step, handle.reset, handle.reset_obs)
-    )
-    stack = max(1, frame_stack)
-    num_envs = args.episodes
-
-    @jax.jit
-    def batch_run(key):
-        state = jax.vmap(lambda k: handle.reset(cfg, k))(
-            jax.random.split(key, num_envs)
-        )
-        obs0 = jax.vmap(lambda s: handle.reset_obs(cfg, s))(state)
-        frames = init_frames(obs0, stack)
-
-        def body(carry, _):
-            state, frames = carry
-            actions = batch_policy_fn(frames.reshape(num_envs, -1))
-            state, ts = auto(state, actions)
-            new_frames = push_frames(frames, ts.obs, ts.done)
-            flags = {
-                k: jnp.sum(v) for k, v in ts.info.items()
-                if hasattr(v, "dtype") and v.dtype == jnp.bool_ and v.ndim == 1
-            }
-            out = (
-                jnp.sum(ts.reward), jnp.sum(ts.done), jnp.sum(ts.terminated),
-                flags,
-            )
-            return (state, new_frames), out
-
-        _, (r, d, t, flags) = jax.lax.scan(
-            body, (state, frames), None, length=args.steps
-        )
-        return (
-            jnp.sum(r), jnp.sum(d), jnp.sum(t),
-            {k: jnp.sum(v) for k, v in flags.items()},
-        )
-
-    reward_sum, done_sum, term_sum, flag_sums = batch_run(
-        jax.random.key(args.seed + 1)
+    # 2) batched frame-stacked rollout -> summary metrics (one device
+    # program; shared implementation, evaluate.batch_policy_metrics)
+    metrics = batch_policy_metrics(
+        handle, batch_policy_fn, n_steps=args.steps, num_envs=args.episodes,
+        seed=args.seed, frame_stack=frame_stack,
     )
     summary = dict(
         env=args.env,
         policy=args.policy or "zero-action baseline",
         steps=int(args.steps),
-        episodes_batch=int(num_envs),
-        reward_per_step=float(reward_sum) / (args.steps * num_envs),
-        episodes_finished=int(done_sum),
-        terminations=int(term_sum),
-        truncations=int(done_sum) - int(term_sum),
-        # per-step boolean info flags summed over the rollout (e.g. the CA
-        # env's arrived/collision outcome counts)
-        **{f"info_{k}": int(v) for k, v in sorted(flag_sums.items())},
+        episodes_batch=int(args.episodes),
+        # incl. per-step boolean info flags summed over the rollout (e.g.
+        # the CA env's arrived/collision outcome counts)
+        **metrics,
     )
     (out / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary), flush=True)
