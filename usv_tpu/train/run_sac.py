@@ -14,21 +14,60 @@ import argparse
 import time
 
 
+# SB3-matching fallbacks for the recipe-tunable args (argparse default None
+# so an explicit flag — even one repeating the fallback — beats the recipe)
+_ARG_FALLBACKS = dict(
+    num_envs=256, train_freq=8, gradient_steps=8, update_fusion=1, lr=1e-4,
+)
+
+
+def apply_recipe(args):
+    """Resolve ``--recipe`` + None-sentinels. Explicit flags always win.
+
+    ``at-scale``: the measured-best SAC wide-batch recipe
+    (docs/PERFORMANCE.md, "CA-env quality at throughput" + the usv-simple
+    transfer): 1024 envs, 64 env steps / 64 gradient steps per round with
+    4-way update fusion (16 sequential updates of batch 1024), lr 3e-4 —
+    91.1% CA arrivals @96M (reliable across seeds where the dense regime is
+    not), eval 1.57 on usv-simple @288M at ~1.8M steps/s.
+    """
+    if args.recipe == "at-scale":
+        if args.num_envs is None:
+            args.num_envs = 1024
+        if args.train_freq is None:
+            args.train_freq = 64
+        if args.gradient_steps is None:
+            args.gradient_steps = 64
+        if args.update_fusion is None:
+            args.update_fusion = 4
+        if args.lr is None:
+            args.lr = 3e-4
+    for name, fallback in _ARG_FALLBACKS.items():
+        if getattr(args, name) is None:
+            setattr(args, name, fallback)
+    return args
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="usv-simple")
+    p.add_argument("--recipe", choices=["none", "at-scale"], default="none",
+                   help="named preset; 'at-scale' = 1024 envs, g64 k4 "
+                        "(16 seq updates of batch 1024 per round), lr 3e-4 "
+                        "— the measured-best wide-batch recipe "
+                        "(docs/PERFORMANCE.md); explicit flags override")
     p.add_argument("--total-steps", type=float, default=10e6)  # sb3_train.py:13
-    p.add_argument("--num-envs", type=int, default=256)
+    p.add_argument("--num-envs", type=int, default=None)       # default 256
     p.add_argument("--buffer-size", type=int, default=400_000)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--learning-starts", type=int, default=50_000)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=None)           # default 1e-4
     p.add_argument("--lr-decay-steps", type=int, default=0,
                    help="linear lr decay over this many gradient steps "
                         "(0 = constant, the reference behavior)")
     p.add_argument("--lr-final-frac", type=float, default=0.1)
-    p.add_argument("--train-freq", type=int, default=8)
-    p.add_argument("--gradient-steps", type=int, default=8)
+    p.add_argument("--train-freq", type=int, default=None)      # default 8
+    p.add_argument("--gradient-steps", type=int, default=None)  # default 8
     p.add_argument("--sde", default=True, action=argparse.BooleanOptionalAction,
                    help="gSDE exploration (reference config_sac default; "
                         "--no-sde for per-step Gaussian noise)")
@@ -66,7 +105,7 @@ def main(argv=None):
     p.add_argument("--fused-updates", action="store_true",
                    help="one gradient_steps*batch update per round instead "
                         "of gradient_steps sequential updates")
-    p.add_argument("--update-fusion", type=int, default=1,
+    p.add_argument("--update-fusion", type=int, default=None,  # default 1
                    help="fold k sequential updates into one k*batch update "
                         "(k must divide gradient-steps)")
     p.add_argument("--light-checkpoints", action="store_true",
@@ -79,7 +118,7 @@ def main(argv=None):
                    help="record a policy episode video every N blocks "
                         "(device-side rollout, host-side rendering; each "
                         "recording re-traces a small rollout program)")
-    args = p.parse_args(argv)
+    args = apply_recipe(p.parse_args(argv))
 
     from usv_tpu.envs import make
     from usv_tpu.train.checkpoint import save_checkpoint
