@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from usv_tpu.envs import make
 from usv_tpu.envs.autoreset import make_autoreset_step
@@ -100,6 +101,49 @@ def test_sharded_ppo_iteration_runs():
     ts = shard_ppo_train_state(ts, mesh)
     ts, r = learner.train_iteration(ts)
     assert np.isfinite(float(r))
+
+
+_FAMILY_ACTION_DIMS = {
+    "usv-simple": 2, "usv-asmc-simple": 2, "usv-aitsmc-simple": 2,
+    "usv-asmc-ca-v0": 2, "usv-curved-aitsmc": 2,
+    "usv-asmc-v0": 1, "usv-pid-v0": 1, "usv-asmc-ye-int-v0": 1,
+}
+
+
+@pytest.mark.parametrize("env_id", sorted(_FAMILY_ACTION_DIMS))
+def test_sharded_step_matches_unsharded_all_families(env_id):
+    """Sharded-vs-unsharded step equivalence for EVERY env family — the
+    single-family keystone above, widened: each family's state pytree has
+    its own leaf structure (controller internals, substep carries, curved
+    paths), and any leaf the sharding rules mishandled would diverge here."""
+    h = make(env_id)
+    cfg = h.cfg
+    B = 16
+    state = jax.vmap(lambda k: h.reset(cfg, k))(
+        jax.random.split(jax.random.key(3), B)
+    )
+    actions = jnp.full((B, _FAMILY_ACTION_DIMS[env_id]), 0.3, jnp.float32)
+    auto = jax.vmap(make_autoreset_step(cfg, h.step, h.reset, h.reset_obs))
+    step = jax.jit(lambda s, a: auto(s, a))
+
+    plain_state, plain_ts = step(state, actions)
+
+    mesh = make_env_mesh()
+    sstate = shard_env_batch(state, mesh)
+    sactions = jax.device_put(actions, batch_sharding(mesh))
+    shard_state, shard_ts = step(sstate, sactions)
+
+    np.testing.assert_allclose(
+        np.asarray(plain_ts.obs), np.asarray(shard_ts.obs), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain_ts.reward), np.asarray(shard_ts.reward),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain_ts.done), np.asarray(shard_ts.done)
+    )
+    assert len(shard_ts.reward.sharding.device_set) == 8
 
 
 def test_graft_entry_dryrun():
