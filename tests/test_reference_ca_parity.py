@@ -267,6 +267,44 @@ def test_ca_scripted_obstacle_options_parity():
     assert steps >= 30
 
 
+def test_usv_libs_stub_substep_driver_matches_native_compute():
+    """The stub's update_controller_and_model_n must stay equivalent to the
+    native oracle's fused n-substep driver (usv_asmc_compute) — the loop it
+    re-implements with per-substep history capture — and its history fields
+    must carry the binding surface the reference/notebooks consume."""
+    import numpy as np
+
+    import usv_tpu.native as native
+    from usv_tpu.compat import usv_libs_stub as stub
+
+    m1 = stub.DynamicModel(1.0, -2.0, 0.3)
+    a1 = stub.ASMC(stub.ASMC.defaultParams())
+    sp = stub.ASMCSetpoint()
+    sp.velocity, sp.heading = 0.7, 0.4
+    mh, ch = stub.update_controller_and_model_n(m1, a1, sp, 10)
+    assert len(mh) == len(ch) == 10
+
+    m2 = native.DynamicModel(1.0, -2.0, 0.3)
+    a2 = native.ASMC()
+    pose2, vel2 = a2.compute(m2, 0.7, 0.4, n=10, absolute_heading=True)
+
+    np.testing.assert_allclose(
+        [mh[-1].pose_x, mh[-1].pose_y, mh[-1].pose_psi], pose2, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        [mh[-1].vel_x, mh[-1].vel_y, mh[-1].vel_r], vel2, atol=1e-12
+    )
+    for field in ("left_thruster", "right_thruster", "speed_error",
+                  "heading_error", "speed_gain", "heading_gain",
+                  "speed_sigma", "heading_sigma", "Tx", "Tz"):
+        assert hasattr(ch[-1], field), field
+    # mixing identity: tau_x = l + C*r, tau_z = B*(l - C*r)/2
+    l, r = ch[-1].left_thruster, ch[-1].right_thruster
+    np.testing.assert_allclose(ch[-1].Tx, l + 0.78 * r, atol=1e-12)
+    np.testing.assert_allclose(ch[-1].Tz, 0.5 * 0.41 * (l - 0.78 * r),
+                               atol=1e-12)
+
+
 def test_ca_seed_replay_honors_place_obstacles_flag():
     """place_obstacles=False (this repo's config knob; the reference
     hardcodes True at :29) must also zero the seed-replayed obstacle set —
