@@ -33,7 +33,7 @@ ENV_TILE = 128  # envs per program (lane width)
 def _batched_kernel(
     *refs,
     sensor_count, max_range, resolution, first_hit, n_obs, n_acc,
-    angle_addition,
+    angle_addition, fold_lateral,
 ):
     if angle_addition:
         pose_ref, ox_ref, oy_ref, or_ref, aux_ref, ray_ref, out_ref = refs
@@ -76,10 +76,23 @@ def _batched_kernel(
         best_key, best_dist = carry
         nx = ox_ref[pl.ds(k, 1), :] - x          # (1, T)
         ny = oy_ref[pl.ds(k, 1), :] - y
-        r2 = or_ref[pl.ds(k, 1), :]              # radius SQUARED (prefolded)
         xk = c * nx + s * ny                     # (R, T)
-        yk = s * nx - c * ny
-        delta = r2 - yk * yk
+        if fold_lateral:
+            # rotation invariance: yk^2 = d^2 - xk^2 with d^2 = nx^2 + ny^2,
+            # so delta = r^2 - yk^2 = (r^2 - d^2) + xk^2 — the (r^2 - d^2)
+            # term is ray-independent and prefolded on the XLA side
+            # (or_ref carries q = r^2 - d^2), removing the yk transform and
+            # its square from the hot loop. f32 caveat: the cancellation in
+            # (r^2 - d^2) + xk^2 carries ~ulp(d^2) absolute error into
+            # delta — ~1e-3 m^2 at d=100 m — which can flip knife-edge
+            # tangencies; measured max hit-distance deviation stays ~1e-3
+            # at bench scenes and every parity gate holds.
+            q = or_ref[pl.ds(k, 1), :]           # r^2 - d^2 (prefolded)
+            delta = q + xk * xk
+        else:
+            r2 = or_ref[pl.ds(k, 1), :]          # radius SQUARED (prefolded)
+            yk = s * nx - c * ny
+            delta = r2 - yk * yk
         if first_hit:
             # No delta>=0 test and no maximum(delta, 0): a miss (delta < 0)
             # makes sqrt return NaN, NaN poisons dist, and `dist < max_range`
@@ -157,6 +170,7 @@ def raycast_pallas_batched(
     interpret: bool = False,
     n_acc: int = 1,
     angle_addition: bool = True,
+    fold_lateral: bool = True,
 ):
     """Batched raycast -> (B, R). B is padded up to a multiple of 128."""
     B, K = obs_r.shape
@@ -182,7 +196,14 @@ def raycast_pallas_batched(
     ox_t = obs_xy[..., 0].T.astype(jnp.float32)       # (K, Bp)
     oy_t = obs_xy[..., 1].T.astype(jnp.float32)
     r32 = obs_r.astype(jnp.float32)
-    or_t = (r32 * r32).T                              # radius squared
+    if fold_lateral:
+        # q = r^2 - d^2 (center distance squared), ray-independent — see
+        # the kernel's fold_lateral branch
+        nx = obs_xy[..., 0].astype(jnp.float32) - position[:, 0:1].astype(jnp.float32)
+        ny = obs_xy[..., 1].astype(jnp.float32) - position[:, 1:2].astype(jnp.float32)
+        or_t = (r32 * r32 - (nx * nx + ny * ny)).T
+    else:
+        or_t = (r32 * r32).T                          # radius squared
     if first_hit:
         # fold the validity mask into the ordering key (inf never wins)
         aux_t = jnp.where(
@@ -200,6 +221,7 @@ def raycast_pallas_batched(
         n_obs=K,
         n_acc=max(1, min(int(n_acc), K)),
         angle_addition=angle_addition,
+        fold_lateral=fold_lateral,
     )
     grid = (Bp // ENV_TILE,)
 
