@@ -66,6 +66,12 @@ def _batched_kernel(
         c = jnp.cos(angles)
         s = jnp.sin(angles)
 
+    # (A boat-projection hoist — xk = (c*ox + s*oy) - px with px = c*x+s*y
+    # per tile — was measured NEUTRAL-TO-NEGATIVE here: the (R, T) px
+    # temporary stays live across the whole unrolled loop and the added
+    # pressure outweighs the one saved op per obstacle. Keep the (1, T)
+    # nx/ny form.)
+
     def init():
         return (
             jnp.full((sensor_count, ENV_TILE), jnp.inf, jnp.float32),
