@@ -352,3 +352,207 @@ def test_ca_adapter_reference_reset_sampling():
         assert (bool(done), bool(trunc)) == (bool(ref_done), bool(ref_trunc))
         if ref_done or ref_trunc:
             break
+
+
+# ---------------------------------------------------------------------------
+# Termination-ladder parity (VERDICT r3 next-#2): scripted scenes force each
+# branch of usv_asmc_ca_env.py:295-310 against the reference's ACTUAL class —
+# arrive (:295-296), far tracking error with its -100 reward (:301-303), and
+# out-of-bounds (:308-310; reachable because pose_psi is unwrapped in the
+# model — ~16 full turns push |psi|>100). Collision (:298-299) is already
+# exercised by seeds 3/11 in test_ca_env_seed_trajectory_parity.
+# ---------------------------------------------------------------------------
+
+
+def _ref_and_ours_with_options(seed, options):
+    """Reset the reference class with seed+scripted options and build our
+    state from the SAME scene via ca_scene_from_seed(options) — the
+    reference order (draws -> overrides -> prune -> bootstrap)."""
+    UsvAsmcCaEnv = _load_reference_ca_env()
+    from usv_tpu.compat.seed_replay import ca_scene_from_seed
+
+    ref = UsvAsmcCaEnv(render_mode="rgb_array")
+    np.random.seed(seed)
+    ref.reset(options={"renderplots": False, **options})
+
+    handle = _our_handle()
+    scene = ca_scene_from_seed(handle.cfg, seed, options)
+    state = _our_state_from_scene(handle, scene)
+    return ref, handle, state
+
+
+def _drive_actions(ref, state, handle, actions, obs_atol=1e-3, rew_atol=1e-3):
+    """Step both sides with the given action sequence, asserting stepwise
+    obs/reward/flag parity; returns (steps_run, last ref (done, trunc, rew))."""
+    step = jax.jit(lambda s, a: handle.step(handle.cfg, s, a))
+    last = None
+    steps_run = 0
+    for i, a in enumerate(actions):
+        ref_obs, ref_rew, ref_done, ref_trunc, _ = ref.step(np.asarray(a))
+        state, ts = step(state, jnp.asarray(a, jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(ts.obs), ref_obs, atol=obs_atol,
+            err_msg=f"step {i}: obs",
+        )
+        assert abs(float(ts.reward) - float(ref_rew)) < rew_atol, (
+            f"step {i}: reward {float(ts.reward)} vs {float(ref_rew)}"
+        )
+        assert bool(ts.terminated) == bool(ref_done), f"step {i}: done flag"
+        assert bool(ts.truncated) == bool(ref_trunc), f"step {i}: trunc flag"
+        last = (bool(ref_done), bool(ref_trunc), float(ref_rew))
+        steps_run = i + 1
+        if ref_done or ref_trunc:
+            break
+    return steps_run, last
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_ca_reference_termination_arrived(seed):
+    """Target scripted ~1.2 m from the drawn start -> the first post-reset
+    step hits the arrive branch (:264 distance<1.5, :295-296 done=True,
+    truncated stays False) on both sides, with exact reward agreement."""
+    from usv_tpu.compat.seed_replay import ca_scene_from_seed
+
+    handle = _our_handle()
+    drawn = ca_scene_from_seed(handle.cfg, seed)
+    target = np.array(
+        [drawn["position"][0] + 1.2, drawn["position"][1], 0.0]
+    )
+    ref, handle, state = _ref_and_ours_with_options(
+        seed,
+        {
+            "target_point": target,
+            "obs_x": np.zeros((0, 1)), "obs_y": np.zeros((0, 1)),
+            "obs_r": np.zeros((0, 1)),
+        },
+    )
+    steps, (done, trunc, rew) = _drive_actions(
+        ref, state, handle, [np.array([0.0, 0.0])] * 5
+    )
+    assert steps == 1 and done and not trunc
+    # arrive branch only: no -100 (branch 3) anywhere near this reward
+    assert rew > -10.0
+    d = np.hypot(ref.position[0] - target[0], ref.position[1] - target[1])
+    assert d < 1.5
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_ca_reference_termination_far_tracking_error(seed):
+    """A scene steering AWAY from a target 38 m out: when the planar
+    tracking error crosses 40 m the episode ends done=True (not truncated)
+    and the reward takes the -100 hit (:301-303) — on both sides, with the
+    -100 visible in the exact reward agreement."""
+    from usv_tpu.compat.seed_replay import ca_scene_from_seed
+
+    handle = _our_handle()
+    drawn = ca_scene_from_seed(handle.cfg, seed)
+    target = np.array(
+        [drawn["position"][0], drawn["position"][1] + 38.0, 0.0]
+    )
+    ref, handle, state = _ref_and_ours_with_options(
+        seed,
+        {
+            "target_point": target,
+            "obs_x": np.zeros((0, 1)), "obs_y": np.zeros((0, 1)),
+            "obs_r": np.zeros((0, 1)),
+        },
+    )
+    # full speed, absolute heading -pi/2 = due -y (away from the target)
+    actions = [np.array([1.0, -0.5])] * 400
+    steps, (done, trunc, rew) = _drive_actions(ref, state, handle, actions)
+    assert done and not trunc, "far branch sets done only (:301-303)"
+    assert steps < 400, "episode should end before the action budget"
+    assert rew < -90.0, f"the -100 penalty must be in the final reward ({rew})"
+    d = np.hypot(ref.position[0] - target[0], ref.position[1] - target[1])
+    assert d > 40.0
+
+
+def test_ca_reference_termination_out_of_bounds_psi():
+    """Out-of-bounds (:308-310) fires on max(|position|)>100 where position
+    includes the UNWRAPPED heading: a sustained spin accumulates psi past
+    100 rad while x/y stay in-map and the target stays within 40 m. The
+    reference side closes the loop (setpoint = psi + 2), ours replays the
+    identical action sequence; the final step must set done AND truncated on
+    both sides."""
+    from usv_tpu.compat.seed_replay import ca_scene_from_seed
+
+    seed = 5
+    handle = _our_handle()
+    drawn = ca_scene_from_seed(handle.cfg, seed)
+    target = np.array(
+        [drawn["position"][0] + 20.0, drawn["position"][1] + 10.0, 0.0]
+    )
+    ref, handle, state = _ref_and_ours_with_options(
+        seed,
+        {
+            "target_point": target,
+            "obs_x": np.zeros((0, 1)), "obs_y": np.zeros((0, 1)),
+            "obs_r": np.zeros((0, 1)),
+        },
+    )
+    step = jax.jit(lambda s, a: handle.step(handle.cfg, s, a))
+    wrap = lambda a: np.arctan2(np.sin(a), np.cos(a))
+    done = trunc = False
+    for i in range(2500):
+        psi = float(ref.position[2])
+        action = np.array([0.0, wrap(psi + 2.0) / np.pi])
+        ref_obs, ref_rew, ref_done, ref_trunc, _ = ref.step(action)
+        state, ts = step(state, jnp.asarray(action, jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(ts.obs), ref_obs, atol=2e-3, err_msg=f"step {i}: obs"
+        )
+        assert bool(ts.terminated) == bool(ref_done), f"step {i}: done flag"
+        assert bool(ts.truncated) == bool(ref_trunc), f"step {i}: trunc flag"
+        done, trunc = bool(ref_done), bool(ref_trunc)
+        if done or trunc:
+            break
+    assert done and trunc, "out-of-bounds sets done AND truncated (:308-310)"
+    assert abs(float(ref.position[2])) > 100.0, "psi must be what crossed 100"
+    assert np.max(np.abs(np.asarray(ref.position[:2]))) < 100.0
+    d = np.hypot(ref.position[0] - target[0], ref.position[1] - target[1])
+    assert d < 40.0, "the far branch must not be what ended the episode"
+
+
+def test_ca_adapter_seed_replay_honors_scripted_options():
+    """ADVICE r3 #1: reference_reset_sampling + scripted-scene options must
+    match the reference's combined path (draws -> overrides incl. the
+    start_position prune-anchor quirk -> prune -> bootstrap), not silently
+    drop the options."""
+    UsvAsmcCaEnv = _load_reference_ca_env()
+    from usv_tpu.compat import gym_adapter
+
+    seed = 7
+    # an off-drawn prune anchor + scripted obstacles: one obstacle sits
+    # within the prune margin of the ANCHOR (removed on both sides), the
+    # others survive; the boat still starts at the DRAWN pose (:336 quirk)
+    anchor = np.array([5.0, -2.0, 0.0])
+    target = np.array([10.0, 7.0, 0.0])
+    obs_x = np.array([5.2, 8.0, 12.0]).reshape(-1, 1)
+    obs_y = np.array([-2.1, 3.0, 5.0]).reshape(-1, 1)
+    obs_r = np.array([1.0, 1.4, 1.1]).reshape(-1, 1)
+    options = {
+        "obs_x": obs_x, "obs_y": obs_y, "obs_r": obs_r,
+        "target_point": target, "start_position": anchor,
+    }
+
+    ref = UsvAsmcCaEnv(render_mode="rgb_array")
+    np.random.seed(seed)
+    ref_obs0, _ = ref.reset(options={"renderplots": False, **options})
+    assert int(ref.num_obs) == 2, "anchor-close obstacle pruned"
+
+    ours = gym_adapter.UsvAsmcCaEnv(
+        render_mode="rgb_array", reference_reset_sampling=True
+    )
+    our_obs0, _ = ours.reset(seed=seed, options=options)
+    np.testing.assert_allclose(our_obs0, ref_obs0, atol=1e-4)
+    assert int(np.sum(np.asarray(ours._state.obs_mask))) == 2
+
+    actions = _action_sequence(60)
+    for i in range(60):
+        ref_obs, ref_rew, ref_done, ref_trunc, _ = ref.step(actions[i])
+        obs, rew, done, trunc, _ = ours.step(actions[i].astype(np.float32))
+        np.testing.assert_allclose(obs, ref_obs, atol=1e-3)
+        assert abs(float(rew) - float(ref_rew)) < 1e-3
+        assert (bool(done), bool(trunc)) == (bool(ref_done), bool(ref_trunc))
+        if ref_done or ref_trunc:
+            break

@@ -105,7 +105,12 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
 
     def _apply_reference_seed(self, state, seed, options):
         """Replay the reference's reset RNG for ``seed`` and inject the
-        scene (``reference_reset_sampling=True``; seed_replay.py)."""
+        scene (``reference_reset_sampling=True``; seed_replay.py).
+
+        Returns ``(state, consumed)`` where ``consumed`` lists the option
+        keys the replay already honored (reference order: draws -> option
+        overrides -> prune -> bootstrap) so :meth:`reset` does not apply
+        them a second time post-bootstrap."""
         from usv_tpu.compat import seed_replay
 
         env_id = self.handle.env_id
@@ -117,17 +122,22 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
             # the reference only overwrites it to 0.5 after the reset obs is
             # built, which our core now replicates inside step —
             # envs/simple_aitsmc.py)
-            return seed_replay.apply_simple_overrides(state, ov)
+            return seed_replay.apply_simple_overrides(state, ov), ()
         if env_id in seed_replay._LEGACY_RANGES:
             pose, target = seed_replay.legacy_scene_from_seed(env_id, seed)
-            return seed_replay.apply_legacy_scene(state, pose, target)
+            return seed_replay.apply_legacy_scene(state, pose, target), ()
         if env_id == "usv-asmc-ca-v0":
             # the CA env draws from the GLOBAL np.random stream like the
-            # legacy trio (usv_asmc_ca_env.py:331-356); the replayed scene
-            # replaces the sampled one and the reference's bootstrap step
-            # re-runs from it
-            scene = seed_replay.ca_scene_from_seed(self.handle.cfg, seed)
-            return seed_replay.apply_ca_scene(self.handle.cfg, state, scene)
+            # legacy trio (usv_asmc_ca_env.py:331-356); scripted-scene
+            # options are injected between the draws and the prune passes,
+            # exactly as the reference does (:358-398), then the bootstrap
+            # step re-runs — so they must NOT be re-applied afterwards
+            # (the second prune/bootstrap would use the post-bootstrap pose)
+            scene = seed_replay.ca_scene_from_seed(
+                self.handle.cfg, seed, options
+            )
+            state = seed_replay.apply_ca_scene(self.handle.cfg, state, scene)
+            return state, seed_replay.CA_SCENE_OPTION_KEYS
         raise NotImplementedError(
             f"reference_reset_sampling not supported for {env_id}"
         )
@@ -154,9 +164,14 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
                 self._path_obs_from_option = False
             self._build(self._config_overrides)
         self._state = self._jit_reset(self._next_key(seed))
+        consumed = ()
         if self.reference_reset_sampling and seed is not None:
-            self._state = self._apply_reference_seed(self._state, seed, merged)
-        self._state = self._apply_reset_options(self._state, {**self.options, **options})
+            self._state, consumed = self._apply_reference_seed(
+                self._state, seed, merged
+            )
+        self._state = self._apply_reset_options(
+            self._state, {k: v for k, v in merged.items() if k not in consumed}
+        )
         obs = np.asarray(self._jit_reset_obs(self._state))
         if self.legacy_api:
             return obs

@@ -162,17 +162,33 @@ def legacy_scene_from_seed(env_id: str, seed):
     return pose, target
 
 
-def ca_scene_from_seed(cfg, seed):
-    """Replay ``np.random.seed(seed); UsvAsmcCaEnv.reset()`` — the CA env
-    draws from the GLOBAL legacy stream (usv_asmc_ca_env.py:331-356), so the
-    reproducible protocol matches the legacy trio: a ``RandomState(seed)``
-    replays position, target, obstacle draws and the two prune passes
-    (:376-398) exactly.
+#: reset-option keys the reference's CA env consumes in its scene section
+#: (usv_asmc_ca_env.py:361-372)
+CA_SCENE_OPTION_KEYS = (
+    "obs_x", "obs_y", "obs_r", "target_point", "start_position",
+)
+
+
+def ca_scene_from_seed(cfg, seed, options=None):
+    """Replay ``np.random.seed(seed); UsvAsmcCaEnv.reset(options)`` — the CA
+    env draws from the GLOBAL legacy stream (usv_asmc_ca_env.py:331-356), so
+    the reproducible protocol matches the legacy trio: a ``RandomState(seed)``
+    replays position, target, obstacle draws, the scripted-scene option
+    overrides (:358-372, applied AFTER the draws), and the two prune passes
+    (:376-398) exactly — in the reference's order.
+
+    Option semantics match the reference faithfully, including its quirk:
+    ``start_position`` overwrites ``self.position`` (the obstacle-prune
+    anchor, :371,:376) but NOT the ``DynamicModel``, which was already
+    constructed at the DRAWN pose (:336) — so the boat still starts at the
+    drawn pose and only the pruning/bookkeeping see the override. The
+    returned ``position`` is therefore always the drawn pose.
 
     Returns a dict: ``position`` (3,), ``target_point`` (2,), ``obs_x`` /
     ``obs_y`` / ``obs_r`` (n,), ``num_obs`` — the scene as it stands right
     before the reference's bootstrap step (:402).
     """
+    options = options or {}
     rs = np.random.RandomState(seed)
     x = rs.uniform(low=cfg.min_x, high=cfg.max_x)                    # :331
     y = rs.uniform(low=cfg.min_y, high=cfg.min_y + 5.0)              # :332
@@ -197,9 +213,28 @@ def ca_scene_from_seed(cfg, seed):
     obs_x = rs.normal(loc=center_x, size=num_obs, scale=10)          # :355
     obs_y = rs.normal(loc=center_y, size=num_obs, scale=10)          # :356
 
+    # scripted-scene overrides (:358-372) — AFTER the draws (the RNG stream
+    # is identical with or without options), BEFORE the prune passes
+    if "obs_x" in options:
+        obs_x = np.asarray(options["obs_x"], np.float64).reshape(-1).copy()
+        obs_y = np.asarray(options["obs_y"], np.float64).reshape(-1).copy()
+        obs_r = np.asarray(options["obs_r"], np.float64).reshape(-1).copy()
+    if "target_point" in options:
+        target = np.asarray(options["target_point"], np.float64).reshape(-1)[:2]
+    prune_anchor = position
+    if "start_position" in options:
+        # reference quirk (:336 vs :371): the DynamicModel keeps the drawn
+        # pose; the override only re-anchors the obstacle prune
+        prune_anchor = np.asarray(
+            options["start_position"], np.float64
+        ).reshape(-1)
+
     # prune passes (:376-398); margin = boat + safety + 0.35
     margin = cfg.boat_radius + cfg.safety_radius + 0.35
-    keep = (np.hypot(obs_x - x, obs_y - y) - obs_r - margin) >= 0
+    keep = (
+        np.hypot(obs_x - prune_anchor[0], obs_y - prune_anchor[1])
+        - obs_r - margin
+    ) >= 0
     obs_x, obs_y, obs_r = obs_x[keep], obs_y[keep], obs_r[keep]
     keep = (np.hypot(obs_x - target[0], obs_y - target[1]) - obs_r - margin) >= 0
     obs_x, obs_y, obs_r = obs_x[keep], obs_y[keep], obs_r[keep]
