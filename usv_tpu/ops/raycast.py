@@ -24,6 +24,16 @@ Two reduction semantics are provided:
   one with distance < max_range, then breaks (reference :442-460) — not
   necessarily the nearest intersection. Kept for exact-seed parity runs.
 
+f32 tangency bound (measured, tests/test_raycast_pallas.py tangency suite):
+the batched Pallas path behind the compat kernel defaults to the v4
+lateral-offset fold, whose (r^2 - d^2) + xk^2 cancellation carries ~ulp(d^2)
+into the tangency test. Against the f64 oracle over grazing-incidence scenes:
+ZERO hit/miss flips for impact parameters >= 1 cm from the radius at any
+range <= 100 m; at the millimeter knife edge (|b - r| = 1e-3 at d = 100)
+the flip rate is ~0.2%, growing only below that (45% of scenes at 1e-4).
+``fold_lateral=False`` (ops/raycast_pallas.py) is flip-free down to 1e-4 at
+every range (max hit-distance error 5e-4) for runs that need it.
+
 Obstacles use fixed capacity + validity mask (SURVEY.md §7.3): invalid slots
 never hit.
 """
