@@ -357,12 +357,20 @@ class PpoLearner:
                           num_envs: int = 16) -> dict:
         """Deterministic eval with outcome counts (see
         ``SacLearner.eval_policy_stats``)."""
+        return self.eval_policy_stats_at(
+            ts.params, jax.random.fold_in(ts.key, 7), n_steps, num_envs
+        )
+
+    def eval_policy_stats_at(self, params, key, n_steps: int = 500,
+                             num_envs: int = 16) -> dict:
+        """The exact :meth:`eval_policy_stats` program on arbitrary params
+        under an explicit PRNG key (see ``SacLearner.eval_policy_stats_at``)."""
         if (n_steps, num_envs) not in self._jit_eval:
             self._jit_eval[(n_steps, num_envs)] = self._build_eval(
                 n_steps, num_envs
             )
         run = self._jit_eval[(n_steps, num_envs)]
-        out = run(ts.params, jax.random.fold_in(ts.key, 7))
+        out = run(params, key)
         return {k: float(v) for k, v in out.items()}
 
     def _build_eval(self, n_steps, num_envs):
@@ -410,15 +418,25 @@ class PpoLearner:
         """Per-seed deterministic eval -> (S,) mean reward/step array (the
         population counterpart of :meth:`eval_policy`; see
         ``SacLearner.eval_policy_many``)."""
+        return self.eval_policy_stats_many(ts, n_steps, num_envs)[
+            "reward_per_step"
+        ]
+
+    def eval_policy_stats_many(self, ts: PpoTrainState, n_steps: int = 500,
+                               num_envs: int = 16) -> dict:
+        """Population eval with outcome counts: the
+        :meth:`eval_policy_stats` dict with (S,) NumPy arrays per entry —
+        model selection across a seed population can use the task metric
+        (``--recipe robust``)."""
+        import numpy as np
+
         key = ("many", n_steps, num_envs)
         if key not in self._jit_eval:
             run = self._build_eval(n_steps, num_envs)
             self._jit_eval[key] = jax.jit(jax.vmap(run))
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(ts.key)
-        import numpy as np
-
         out = self._jit_eval[key](ts.params, keys)
-        return np.asarray(out["reward_per_step"])
+        return {k: np.asarray(v) for k, v in out.items()}
 
     # ---------------------------------------------------------- diagnostics
 

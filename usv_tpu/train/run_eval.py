@@ -33,6 +33,12 @@ def main(argv=None):
                    help="batch rollout width for the summary metrics")
     p.add_argument("--video", action="store_true",
                    help="also render an episode video (host-side)")
+    p.add_argument("--replay-recorded-eval", action="store_true",
+                   help="re-run the in-run eval recorded in the bundle "
+                        "metadata (same learner program, protocol, and PRNG "
+                        "key) and report recorded vs replayed — bitwise "
+                        "agreement attributes any in-run-vs-re-eval gap to "
+                        "eval-seed variance rather than export infidelity")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -47,6 +53,16 @@ def main(argv=None):
     handle = make(args.env)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+
+    if args.replay_recorded_eval:
+        if not args.policy:
+            p.error("--replay-recorded-eval requires --policy")
+        from usv_tpu.train.policy import replay_recorded_eval
+
+        rep = replay_recorded_eval(handle, args.policy)
+        rep["exact_match"] = rep["recorded"] == rep["replayed"]
+        (out / "replay_recorded_eval.json").write_text(json.dumps(rep, indent=1))
+        print(json.dumps(rep), flush=True)
 
     if args.policy:
         from usv_tpu.train.policy import load_policy

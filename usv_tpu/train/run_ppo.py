@@ -176,7 +176,18 @@ def main(argv=None):
             metrics.update(eval_metrics)
             if score > best_eval:
                 best_eval = score
-                export_policy(learner, ts, f"{args.logdir}/policy_best")
+                import jax
+
+                from usv_tpu.train.policy import in_run_eval_meta
+
+                export_policy(
+                    learner, ts, f"{args.logdir}/policy_best",
+                    extra_meta=in_run_eval_meta(
+                        args.env, args.best_metric, score, stats,
+                        jax.random.fold_in(ts.key, 7),
+                        args.eval_steps, args.eval_envs,
+                    ),
+                )
         if args.video_every_iters and it % args.video_every_iters == 0:
             from usv_tpu.utils.video import record_rollout_video
 

@@ -198,7 +198,18 @@ def main(argv=None):
             metrics.update(eval_metrics)
             if score > best_eval:
                 best_eval = score
-                export_policy(learner, ts, f"{args.logdir}/policy_best")
+                import jax
+
+                from usv_tpu.train.policy import in_run_eval_meta
+
+                export_policy(
+                    learner, ts, f"{args.logdir}/policy_best",
+                    extra_meta=in_run_eval_meta(
+                        args.env, args.best_metric, score, stats,
+                        jax.random.fold_in(ts.key, 7),
+                        args.eval_steps, args.eval_envs,
+                    ),
+                )
             if int(ts.buffer.size) > 0:  # wandb.watch analog (needs data)
                 metrics.update(learner.watch(ts))
         if args.video_every_blocks and block % args.video_every_blocks == 0:

@@ -633,12 +633,23 @@ class SacLearner:
         ``collisions`` where the env reports them) over the rollout —
         so model selection can use the task metric (e.g. CA arrivals)
         rather than reward/step."""
+        return self.eval_policy_stats_at(
+            ts.actor_params, jax.random.fold_in(ts.key, 7), n_steps, num_envs
+        )
+
+    def eval_policy_stats_at(self, actor_params, key, n_steps: int = 500,
+                             num_envs: int = 16) -> dict:
+        """The exact :meth:`eval_policy_stats` program on arbitrary actor
+        params under an explicit PRNG key — lets a bundle's recorded in-run
+        eval (the key the train CLI stored at best-export time) be replayed
+        bit-for-bit against the exported params (export-fidelity testing and
+        eval-gap attribution; ``run_eval --replay-recorded-eval``)."""
         if (n_steps, num_envs) not in self._jit_eval:
             self._jit_eval[(n_steps, num_envs)] = self._build_eval(
                 n_steps, num_envs
             )
         run = self._jit_eval[(n_steps, num_envs)]
-        out = run(ts.actor_params, jax.random.fold_in(ts.key, 7))
+        out = run(actor_params, key)
         return {k: float(v) for k, v in out.items()}
 
     def _build_eval(self, n_steps, num_envs):
