@@ -35,7 +35,7 @@ def apply_recipe(args, parser=None):
     """
     # families measured as update-granularity-sensitive (fusion hurts)
     _GRANULARITY_SENSITIVE = ("usv-asmc-ca-v0",)
-    if args.recipe == "at-scale":
+    if args.recipe in ("at-scale", "robust"):
         if args.num_envs is None:
             args.num_envs = 256
         if args.batch_size is None:
@@ -60,6 +60,10 @@ def apply_recipe(args, parser=None):
                 1, steps_per_iter // (args.batch_size * args.update_fusion)
             )
             args.lr_decay_updates = iters * opt_per_iter
+    if args.recipe == "robust" and args.population is None:
+        args.population = 4
+    if args.population is None:
+        args.population = 1
     for name, fallback in _ARG_FALLBACKS.items():
         if getattr(args, name) is None:
             setattr(args, name, fallback)
@@ -69,10 +73,16 @@ def apply_recipe(args, parser=None):
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="usv-simple")
-    p.add_argument("--recipe", choices=["none", "at-scale"], default="none",
+    p.add_argument("--recipe", choices=["none", "at-scale", "robust"],
+                   default="none",
                    help="named preset; 'at-scale' = 256 envs, batch 2048, "
                         "4-way update fusion, single shuffle, lr annealed "
-                        "over the run (explicit flags override)")
+                        "over the run (explicit flags override); 'robust' = "
+                        "the at-scale recipe trained as a seed POPULATION in "
+                        "one device program, winner auto-selected by the "
+                        "shared eval protocol and exported — converts the "
+                        "throughput surplus into a quality floor "
+                        "(docs/PERFORMANCE.md, robust recipe study)")
     p.add_argument("--total-steps", type=float, default=10e6)
     p.add_argument("--num-envs", type=int, default=None)  # default 16
     p.add_argument("--n-steps", type=int, default=2048)
@@ -121,12 +131,140 @@ def build_parser():
                    help="deterministic-eval rollout length")
     p.add_argument("--eval-envs", type=int, default=16,
                    help="deterministic-eval batch width")
+    p.add_argument("--population", type=int, default=None,
+                   help="train N seeds as one vmapped population and export "
+                        "the winner (default 1; --recipe robust defaults 4)")
+    p.add_argument("--cull-at-frac", type=float, default=0.0,
+                   help="racing: at this fraction of the budget, keep only "
+                        "the --cull-keep best-so-far seeds (one retrace; "
+                        "0 disables)")
+    p.add_argument("--cull-keep", type=int, default=None,
+                   help="seeds surviving the cull (default population//2, "
+                        "min 2)")
+    p.add_argument("--select-evals", type=int, default=3,
+                   help="fresh-key re-evals per candidate in the final "
+                        "winner selection (population runs)")
     return p
+
+
+def run_population(args):
+    """The ``--recipe robust`` path: S independent at-scale learners vmapped
+    into one device program, per-seed best-eval snapshots, optional racing
+    cull, and winner selection by the shared eval protocol (VERDICT r3
+    next-#1 — the reference's counterpart is N separate SB3 runs plus a
+    human picking the best, sb3_train_vec.py:58-81)."""
+    import jax
+    import numpy as np
+
+    from usv_tpu.envs import make
+    from usv_tpu.train.metrics import MetricLogger, score_eval_stats
+    from usv_tpu.train.population import select_and_export_winner
+    from usv_tpu.train.ppo import PpoConfig, PpoLearner
+
+    env_kwargs = {"ignore_obstacles": True} if args.ignore_obstacles else {}
+    handle = make(args.env, **env_kwargs)
+    cfg = PpoConfig(
+        n_steps=args.n_steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        num_envs=args.num_envs,
+        frame_stack=args.frame_stack,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        rollout_obs_bf16=args.obs_bf16,
+        lr_decay_updates=args.lr_decay_updates or None,
+        update_fusion=args.update_fusion,
+        reshuffle_epochs=not args.single_shuffle,
+    )
+    learner = PpoLearner(handle, cfg)
+    seeds = list(range(args.seed, args.seed + args.population))
+    ts = learner.init_many(seeds)
+    logger = MetricLogger(args.logdir, config=vars(args))
+
+    steps_per_iter = cfg.n_steps * cfg.num_envs  # per seed
+    total_iters = max(1, -(-int(args.total_steps) // steps_per_iter))
+    cull_keep = args.cull_keep or max(2, args.population // 2)
+    cull_iter = (
+        max(1, int(total_iters * args.cull_at_frac))
+        if args.cull_at_frac else 0
+    )
+    best = [dict(score=float("-inf"), params=None, stats=None) for _ in seeds]
+
+    it = 0
+    t0 = time.time()
+    while it < total_iters:
+        ts, rewards = learner.train_iteration_many(ts)
+        it += 1
+        rewards = np.asarray(rewards)  # device sync
+        sps = steps_per_iter * len(seeds) / max(1e-9, time.time() - t0)
+        metrics = dict(
+            env_steps_per_seed=it * steps_per_iter,
+            seeds_alive=len(seeds),
+            aggregate_steps_per_second=sps,
+            mean_reward=float(rewards.mean()),
+        )
+        if args.eval_every_iters and it % args.eval_every_iters == 0:
+            stats = learner.eval_policy_stats_many(
+                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
+            )
+            params_host = None
+            scores = []
+            for i in range(len(seeds)):
+                stats_i = {k: float(v[i]) for k, v in stats.items()}
+                _, score = score_eval_stats(stats_i, args.best_metric)
+                scores.append(float(score))
+                if score > best[i]["score"]:
+                    if params_host is None:
+                        params_host = jax.device_get(ts.params)
+                    best[i] = dict(
+                        score=float(score),
+                        params=jax.tree.map(lambda x: x[i], params_host),
+                        stats=stats_i,
+                    )
+            metrics.update(
+                eval_scores=[round(s, 4) for s in scores],
+                eval_best_so_far=[round(b["score"], 4) for b in best],
+            )
+        if (cull_iter and it >= cull_iter and len(seeds) > cull_keep
+                and any(np.isfinite(b["score"]) for b in best)):
+            # racing: keep the best-so-far seeds; one retrace at the new S
+            order = np.argsort([-b["score"] for b in best])
+            keep = sorted(int(i) for i in order[:cull_keep])
+            metrics["culled_seeds"] = [
+                seeds[i] for i in range(len(seeds)) if i not in keep
+            ]
+            seeds = [seeds[i] for i in keep]
+            best = [best[i] for i in keep]
+            idx = jax.numpy.asarray(keep)
+            ts = jax.tree.map(lambda x: x[idx], ts)
+        logger.log(it * steps_per_iter, **{
+            k: v for k, v in metrics.items() if isinstance(v, (int, float))
+        })
+        print({k: (round(v, 3) if isinstance(v, float) else v)
+               for k, v in metrics.items()}, flush=True)
+        t0 = time.time()
+
+    final_params = jax.device_get(ts.params)
+    candidates = []
+    for i in range(len(seeds)):
+        cand = best[i] if best[i]["params"] is not None else dict(
+            score=float("-inf"),
+            params=jax.tree.map(lambda x: x[i], final_params),
+        )
+        candidates.append(cand)
+    select_and_export_winner(
+        learner, seeds, candidates, args,
+        final_params_of_winner=lambda w: jax.tree.map(
+            lambda x: x[w], final_params
+        ),
+    )
+    logger.close()
 
 
 def main(argv=None):
     p = build_parser()
     args = apply_recipe(p.parse_args(argv), p)
+    if args.population > 1:
+        return run_population(args)
 
     from usv_tpu.envs import make
     from usv_tpu.train.checkpoint import save_checkpoint

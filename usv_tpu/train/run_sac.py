@@ -18,6 +18,7 @@ import time
 # so an explicit flag — even one repeating the fallback — beats the recipe)
 _ARG_FALLBACKS = dict(
     num_envs=256, train_freq=8, gradient_steps=8, update_fusion=1, lr=1e-4,
+    buffer_size=400_000,
 )
 
 
@@ -30,8 +31,13 @@ def apply_recipe(args):
     4-way update fusion (16 sequential updates of batch 1024), lr 3e-4 —
     91.1% CA arrivals @96M (reliable across seeds where the dense regime is
     not), eval 1.57 on usv-simple @288M at ~1.8M steps/s.
+
+    ``robust``: the at-scale recipe trained as a vmapped seed POPULATION
+    (default 4) with winner auto-selection by the shared eval protocol —
+    each seed carries its own replay buffer, so the buffer fallback drops
+    to 100k/seed (HBM; docs/PERFORMANCE.md population notes).
     """
-    if args.recipe == "at-scale":
+    if args.recipe in ("at-scale", "robust"):
         if args.num_envs is None:
             args.num_envs = 1024
         if args.train_freq is None:
@@ -42,23 +48,156 @@ def apply_recipe(args):
             args.update_fusion = 4
         if args.lr is None:
             args.lr = 3e-4
+    if args.recipe == "robust":
+        if args.population is None:
+            args.population = 4
+        if args.buffer_size is None:
+            args.buffer_size = 100_000
+    if args.population is None:
+        args.population = 1
     for name, fallback in _ARG_FALLBACKS.items():
         if getattr(args, name) is None:
             setattr(args, name, fallback)
     return args
 
 
+def run_sac_population(args):
+    """The SAC ``--recipe robust`` path: S independent at-scale learners
+    (envs, replay buffers, params) vmapped into one device program, per-seed
+    best-eval snapshots, optional racing cull, and winner selection by the
+    shared eval protocol (usv_tpu/train/population.py; VERDICT r3 next-#1).
+    Per-seed budget = ``--total-steps`` (aggregate compute = population x
+    that, in one dispatch stream)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from usv_tpu.envs import make
+    from usv_tpu.train.metrics import MetricLogger, score_eval_stats
+    from usv_tpu.train.population import select_and_export_winner
+    from usv_tpu.train.sac import SacConfig, SacLearner
+
+    env_kwargs = {"ignore_obstacles": True} if args.ignore_obstacles else {}
+    handle = make(args.env, **env_kwargs)
+    cfg = SacConfig(
+        buffer_size=args.buffer_size,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        lr_decay_steps=args.lr_decay_steps or None,
+        lr_final_fraction=args.lr_final_frac,
+        learning_starts=args.learning_starts,
+        train_freq=args.train_freq,
+        gradient_steps=args.gradient_steps,
+        use_sde=args.sde,
+        num_envs=args.num_envs,
+        frame_stack=args.frame_stack,
+        lambda_t=args.lambda_t,
+        lambda_s=args.lambda_s,
+        eps_s=args.eps_s,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        fused_updates=args.fused_updates,
+        update_fusion=args.update_fusion,
+    )
+    learner = SacLearner(handle, cfg)
+    seeds = list(range(args.seed, args.seed + args.population))
+    ts = learner.init_many(seeds)
+    logger = MetricLogger(args.logdir, config=vars(args))
+
+    steps_per_block = args.rounds_per_block * cfg.train_freq * cfg.num_envs
+    total_blocks = max(1, -(-int(args.total_steps) // steps_per_block))
+    cull_keep = args.cull_keep or max(2, args.population // 2)
+    cull_block = (
+        max(1, int(total_blocks * args.cull_at_frac))
+        if args.cull_at_frac else 0
+    )
+    best = [dict(score=float("-inf"), params=None, stats=None) for _ in seeds]
+
+    block = 0
+    t0 = time.time()
+    while block < total_blocks:
+        ts, reward_sum = learner.train_rounds_many(ts, args.rounds_per_block)
+        block += 1
+        reward_sum = np.asarray(reward_sum)  # device sync
+        sps = steps_per_block * len(seeds) / max(1e-9, time.time() - t0)
+        metrics = dict(
+            env_steps_per_seed=block * steps_per_block,
+            seeds_alive=len(seeds),
+            aggregate_steps_per_second=sps,
+            collect_reward_per_step=float(reward_sum.mean()) / steps_per_block,
+        )
+        if args.eval_every_blocks and block % args.eval_every_blocks == 0:
+            stats = learner.eval_policy_stats_many(
+                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
+            )
+            params_host = None
+            scores = []
+            for i in range(len(seeds)):
+                stats_i = {k: float(v[i]) for k, v in stats.items()}
+                _, score = score_eval_stats(stats_i, args.best_metric)
+                scores.append(float(score))
+                if score > best[i]["score"]:
+                    if params_host is None:
+                        params_host = jax.device_get(ts.actor_params)
+                    best[i] = dict(
+                        score=float(score),
+                        params=jax.tree.map(lambda x: x[i], params_host),
+                        stats=stats_i,
+                    )
+            metrics.update(
+                eval_scores=[round(s, 4) for s in scores],
+                eval_best_so_far=[round(b["score"], 4) for b in best],
+            )
+        if (cull_block and block >= cull_block and len(seeds) > cull_keep
+                and any(np.isfinite(b["score"]) for b in best)):
+            order = np.argsort([-b["score"] for b in best])
+            keep = sorted(int(i) for i in order[:cull_keep])
+            metrics["culled_seeds"] = [
+                seeds[i] for i in range(len(seeds)) if i not in keep
+            ]
+            seeds = [seeds[i] for i in keep]
+            best = [best[i] for i in keep]
+            idx = jax.numpy.asarray(keep)
+            ts = jax.tree.map(lambda x: x[idx], ts)
+        logger.log(block * steps_per_block, **{
+            k: v for k, v in metrics.items() if isinstance(v, (int, float))
+        })
+        print({k: (round(v, 3) if isinstance(v, float) else v)
+               for k, v in metrics.items()}, flush=True)
+        t0 = time.time()
+
+    final_params = jax.device_get(ts.actor_params)
+    candidates = []
+    for i in range(len(seeds)):
+        cand = best[i] if best[i]["params"] is not None else dict(
+            score=float("-inf"),
+            params=jax.tree.map(lambda x: x[i], final_params),
+        )
+        candidates.append(cand)
+    select_and_export_winner(
+        learner, seeds, candidates, args,
+        final_params_of_winner=lambda w: jax.tree.map(
+            lambda x: x[w], final_params
+        ),
+    )
+    logger.close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="usv-simple")
-    p.add_argument("--recipe", choices=["none", "at-scale"], default="none",
+    p.add_argument("--recipe", choices=["none", "at-scale", "robust"],
+                   default="none",
                    help="named preset; 'at-scale' = 1024 envs, g64 k4 "
                         "(16 seq updates of batch 1024 per round), lr 3e-4 "
                         "— the measured-best wide-batch recipe "
-                        "(docs/PERFORMANCE.md); explicit flags override")
+                        "(docs/PERFORMANCE.md); 'robust' = at-scale trained "
+                        "as a vmapped seed population (default 4, 100k "
+                        "buffer/seed), winner auto-selected and exported; "
+                        "explicit flags override")
     p.add_argument("--total-steps", type=float, default=10e6)  # sb3_train.py:13
     p.add_argument("--num-envs", type=int, default=None)       # default 256
-    p.add_argument("--buffer-size", type=int, default=400_000)
+    p.add_argument("--buffer-size", type=int, default=None)    # default 400k
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--learning-starts", type=int, default=50_000)
     p.add_argument("--lr", type=float, default=None)           # default 1e-4
@@ -118,7 +257,24 @@ def main(argv=None):
                    help="record a policy episode video every N blocks "
                         "(device-side rollout, host-side rendering; each "
                         "recording re-traces a small rollout program)")
+    p.add_argument("--population", type=int, default=None,
+                   help="train N seeds as one vmapped population and export "
+                        "the winner (default 1; --recipe robust defaults 4)")
+    p.add_argument("--cull-at-frac", type=float, default=0.0,
+                   help="racing: at this fraction of the budget, keep only "
+                        "the --cull-keep best-so-far seeds (0 disables)")
+    p.add_argument("--cull-keep", type=int, default=None,
+                   help="seeds surviving the cull (default population//2, "
+                        "min 2)")
+    p.add_argument("--select-evals", type=int, default=3,
+                   help="fresh-key re-evals per candidate in the final "
+                        "winner selection (population runs)")
     args = apply_recipe(p.parse_args(argv))
+    if args.population > 1:
+        if args.shard or args.shard_local_replay:
+            p.error("--population is incompatible with --shard (a population "
+                    "already fills the chip; shard single-seed runs instead)")
+        return run_sac_population(args)
 
     from usv_tpu.envs import make
     from usv_tpu.train.checkpoint import save_checkpoint

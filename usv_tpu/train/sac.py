@@ -563,15 +563,24 @@ class SacLearner:
     def eval_policy_many(self, ts: SacTrainState, n_steps: int = 500,
                          num_envs: int = 16):
         """Per-seed deterministic eval -> (S,) mean reward/step array."""
+        return self.eval_policy_stats_many(ts, n_steps, num_envs)[
+            "reward_per_step"
+        ]
+
+    def eval_policy_stats_many(self, ts: SacTrainState, n_steps: int = 500,
+                               num_envs: int = 16) -> dict:
+        """Population eval with outcome counts: the
+        :meth:`eval_policy_stats` dict with (S,) NumPy arrays per entry
+        (model selection across a seed population, ``--recipe robust``)."""
+        import numpy as np
+
         key = ("many", n_steps, num_envs)
         if key not in self._jit_eval:
             run = self._build_eval(n_steps, num_envs)
             self._jit_eval[key] = jax.jit(jax.vmap(run))
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(ts.key)
-        import numpy as np
-
         out = self._jit_eval[key](ts.actor_params, keys)
-        return np.asarray(out["reward_per_step"])
+        return {k: np.asarray(v) for k, v in out.items()}
 
     # ---------------------------------------------------------- diagnostics
 
