@@ -7,6 +7,11 @@ protocol; on a dev box run it against virtual CPU devices:
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/scaling_check.py --envs-per-device 128 --steps 200
+
+``--predict`` additionally prints the analytic pod-slice throughput
+prediction (docs/SCALING.md "Pod-slice throughput prediction") next to
+whatever this host can measure — on a real pod the measured table lands
+beside the model it is testing.
 """
 
 import sys
@@ -19,6 +24,59 @@ import json
 import time
 
 
+# Measured single-chip inputs for the prediction model (v5e, round-3/4
+# same-session numbers; override via flags on other hardware). Gradient
+# sizes are exact param counts of the production nets (f32 bytes):
+# SAC actor 407,902 + twin critic 815,602 params -> 4.89 MB/update;
+# PPO actor-critic 499,459 params -> 2.0 MB/update.
+_PREDICT_DEFAULTS = dict(
+    sac=dict(steps_per_s=3.3e6, grad_mb=4.894,
+             updates_per_step=16 / (64 * 1024)),   # g64 k4 @1024 envs
+    ppo=dict(steps_per_s=2.5e6, grad_mb=1.998,
+             updates_per_step=2560 / (2048 * 1024)),  # 10 ep, bs 2048 k4 @1024
+)
+
+
+def predict(args):
+    """Analytic weak-scaling prediction: per-chip work is constant; the only
+    steady-state cross-chip traffic is the per-update gradient ring
+    all-reduce (shard-local replay; SCALING.md), costed NON-overlapped:
+        t_ar(n) = 2 * G * (n-1)/n / B_ici
+    with G = gradient bytes and B_ici the per-chip ICI injection bandwidth
+    on the ring axis. Efficiency = 1 / (1 + updates_per_s * t_ar)."""
+    rows = []
+    for learner in ("sac", "ppo"):
+        d = _PREDICT_DEFAULTS[learner]
+        steps_per_s = (
+            args.predict_steps_per_s or d["steps_per_s"]
+        )
+        updates_per_s = steps_per_s * d["updates_per_step"]
+        g_bytes = d["grad_mb"] * 1e6 * (0.5 if args.predict_bf16_grads else 1.0)
+        for n in (2, 4, 8, 16):
+            t_ar = 2.0 * g_bytes * (n - 1) / n / (args.ici_gbps * 1e9)
+            overhead = updates_per_s * t_ar
+            eff = 1.0 / (1.0 + overhead)
+            rows.append(dict(
+                learner=learner, chips=n,
+                updates_per_s=round(updates_per_s),
+                allreduce_us=round(t_ar * 1e6, 1),
+                overhead_pct=round(100 * overhead, 1),
+                efficiency=round(eff, 3),
+                aggregate_steps_per_s=round(n * steps_per_s * eff / 1e6, 1),
+            ))
+    print(json.dumps({
+        "prediction": rows,
+        "model": "non-overlapped gradient ring all-reduce; per-chip recipe "
+                 "constant (weak scaling, shard-local replay); "
+                 f"B_ici={args.ici_gbps} GB/s/chip"
+                 + (", bf16 gradient all-reduce" if args.predict_bf16_grads
+                    else ""),
+        "north_star": ">=85% linear (BASELINE.md); see docs/SCALING.md "
+                      "'Pod-slice throughput prediction' for derivation, "
+                      "PPO permutation-traffic term, and levers",
+    }, indent=1), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="usv-simple")
@@ -26,7 +84,24 @@ def main():
     p.add_argument("--steps", type=int, default=512)
     p.add_argument("--force-cpu-devices", type=int, default=0,
                    help="force N virtual CPU devices (must run before backend init)")
+    p.add_argument("--predict", action="store_true",
+                   help="print the analytic pod prediction (no devices "
+                        "needed) before measuring")
+    p.add_argument("--predict-only", action="store_true")
+    p.add_argument("--ici-gbps", type=float, default=90.0,
+                   help="per-chip ICI injection bandwidth on the ring axis "
+                        "(90 = one bidirectional v4 torus axis at 45 GB/s "
+                        "per direction)")
+    p.add_argument("--predict-steps-per-s", type=float, default=0,
+                   help="override the measured single-chip steps/s input")
+    p.add_argument("--predict-bf16-grads", action="store_true",
+                   help="model a bf16 gradient all-reduce (halves bytes)")
     args = p.parse_args()
+
+    if args.predict or args.predict_only:
+        predict(args)
+        if args.predict_only:
+            return
 
     import os
 

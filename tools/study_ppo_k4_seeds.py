@@ -1,16 +1,21 @@
-"""Seed study of the PPO `--recipe at-scale` (k4) quality claim.
+"""Multi-seed quality study of a PPO recipe on any env family.
 
-VERDICT r2 next-#6: the round-2 headline leaned on 3 seeds; this driver
-runs >= 5 seeds of the exact at-scale recipe (256 envs, batch 2048, k4
-fusion, single shuffle, lr annealed over the run, best-eval export) end to
-end on the TPU, then re-evaluates each exported `policy_best` bundle with
-the standard deterministic protocol (16 envs x 1000 steps — the same
-`run_eval` metric the round-1/round-2 tables quote) and writes
-``docs/artifacts/ppo_k4_seed_study_r3.json`` with the per-seed and
-mean +- std numbers.
+VERDICT r2 next-#6 introduced this driver for the usv-simple at-scale (k4)
+claim; VERDICT r3 next-#6 generalizes it to the CA family: ``--env
+usv-asmc-ca-v0 --best-metric arrivals --eval-steps 5000`` runs >= 5 seeds of
+the recipe end to end on the TPU, re-evaluates each exported ``policy_best``
+bundle with the standard deterministic protocol (``--eval-episodes`` envs x
+``--eval-steps`` steps via the shared ``evaluate.batch_policy_metrics``),
+and writes the per-seed and mean +- std numbers (reward/step, or
+arrival/collision rates for ``--best-metric arrivals``) to ``--artifact``.
 
-Usage: python tools/study_ppo_k4_seeds.py [--seeds 5] [--total-steps 100e6]
-(~3 min/seed on a v5e chip; run alone — one TPU process at a time.)
+Usage:
+    python tools/study_ppo_k4_seeds.py [--seeds 5] [--total-steps 100e6]
+    python tools/study_ppo_k4_seeds.py --env usv-asmc-ca-v0 \
+        --best-metric arrivals --eval-steps 5000 --total-steps 200e6 \
+        --artifact docs/artifacts/ppo_ca_at_scale_seed_study_r4.json
+
+(~2-4 min/seed on a v5e chip; run alone — one TPU process at a time.)
 """
 
 import sys
@@ -23,10 +28,13 @@ import json
 import time
 
 
-def bundle_eval(env_id, policy_dir, steps=1000, episodes=16, seed=0):
-    """The run_eval batched summary metric (reward/step) — the SAME
-    implementation the CLI uses (evaluate.batch_policy_metrics), so the
-    artifact numbers cannot desynchronize from the quoted protocol."""
+def bundle_eval(env_id, policy_dir, best_metric, steps, episodes, seed):
+    """The run_eval batched summary metrics — the SAME implementation the
+    CLI uses (evaluate.batch_policy_metrics), so the artifact numbers cannot
+    desynchronize from the quoted protocol. Returns a dict with
+    ``reward_per_step`` and, when the env reports outcomes and
+    ``best_metric == 'arrivals'``, ``arrival_rate``/``collision_rate``
+    (fractions of finished episodes)."""
     from usv_tpu.envs import make
     from usv_tpu.train.evaluate import batch_policy_metrics
     from usv_tpu.train.policy import load_policy
@@ -36,7 +44,12 @@ def bundle_eval(env_id, policy_dir, steps=1000, episodes=16, seed=0):
         make(env_id), policy, n_steps=steps, num_envs=episodes,
         seed=seed, frame_stack=policy.frame_stack,
     )
-    return metrics["reward_per_step"]
+    out = dict(reward_per_step=metrics["reward_per_step"])
+    if best_metric == "arrivals":
+        episodes_done = max(metrics["episodes_finished"], 1)
+        out["arrival_rate"] = metrics.get("info_arrived", 0) / episodes_done
+        out["collision_rate"] = metrics.get("info_collision", 0) / episodes_done
+    return out
 
 
 def main():
@@ -44,22 +57,36 @@ def main():
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--total-steps", type=float, default=100e6)
     p.add_argument("--env", default="usv-simple")
-    p.add_argument("--outdir", default="runs/r3_ppo_k4_study")
+    p.add_argument("--recipe", default="at-scale")
+    p.add_argument("--best-metric", choices=["reward", "arrivals"],
+                   default="reward")
+    p.add_argument("--eval-steps", type=int, default=1000,
+                   help="bundle re-eval rollout length (CA episodes run to "
+                        "5000 steps — size accordingly)")
+    p.add_argument("--eval-episodes", type=int, default=16)
+    p.add_argument("--eval-seeds", type=int, default=3,
+                   help="re-eval each bundle across this many eval seeds")
+    p.add_argument("--outdir", default="runs/ppo_seed_study")
     p.add_argument("--artifact",
                    default="docs/artifacts/ppo_k4_seed_study_r3.json")
     args = p.parse_args()
 
     from usv_tpu.train import run_ppo
 
+    score_key = (
+        "arrival_rate" if args.best_metric == "arrivals" else "reward_per_step"
+    )
     results = []
     for seed in range(args.seeds):
         logdir = f"{args.outdir}/seed{seed}"
         t0 = time.time()
         run_ppo.main([
-            "--recipe", "at-scale",
+            "--recipe", args.recipe,
             "--env", args.env,
             "--total-steps", str(args.total_steps),
             "--seed", str(seed),
+            "--best-metric", args.best_metric,
+            "--eval-steps", str(args.eval_steps),
             "--logdir", logdir,
             "--checkpoint-every-iters", "0",
             "--video-every-iters", "0",
@@ -70,32 +97,37 @@ def main():
             # short smoke runs may end before the first in-run eval fires
             bundle = f"{logdir}/policy"
         evals = [
-            bundle_eval(args.env, bundle, seed=es)
-            for es in range(3)  # re-eval across 3 eval seeds like round 2
+            bundle_eval(args.env, bundle, args.best_metric,
+                        args.eval_steps, args.eval_episodes, seed=es)
+            for es in range(args.eval_seeds)
         ]
         rec = dict(
             seed=seed,
             train_seconds=round(train_s, 1),
-            best_bundle_eval=[round(e, 3) for e in evals],
-            best_bundle_eval_mean=round(sum(evals) / len(evals), 3),
+            evals=[{k: round(v, 4) for k, v in e.items()} for e in evals],
         )
+        for k in evals[0]:
+            rec[f"{k}_mean"] = round(sum(e[k] for e in evals) / len(evals), 4)
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    means = [r["best_bundle_eval_mean"] for r in results]
+    means = [r[f"{score_key}_mean"] for r in results]
     mu = sum(means) / len(means)
     sd = (sum((m - mu) ** 2 for m in means) / max(1, len(means) - 1)) ** 0.5
     summary = dict(
-        recipe="at-scale (256 envs, batch 2048, k4, single shuffle, lr anneal)",
+        recipe=args.recipe,
         env=args.env,
+        best_metric=args.best_metric,
         total_steps=args.total_steps,
         seeds=args.seeds,
         per_seed=results,
-        mean=round(mu, 3),
-        std=round(sd, 3),
-        floor=round(min(means), 3),
-        protocol="best-eval export bundle, 16 envs x 1000 deterministic "
-                 "steps, mean over 3 eval seeds",
+        score_key=score_key,
+        mean=round(mu, 4),
+        std=round(sd, 4),
+        floor=round(min(means), 4),
+        protocol=f"best-eval export bundle, {args.eval_episodes} envs x "
+                 f"{args.eval_steps} deterministic steps, mean over "
+                 f"{args.eval_seeds} eval seeds",
     )
     print(json.dumps(summary), flush=True)
     Path(args.artifact).parent.mkdir(parents=True, exist_ok=True)
