@@ -546,3 +546,108 @@ def test_shard_local_sac_trains():
     assert int(ts.buffer.size) == 4 * 2 * 16 // 8  # rounds*T*B / n shards
     for leaf in jax.tree.leaves(ts.actor_params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+# ---------------------------------------------------------------------------
+# Grouped (shard-local) PPO minibatch shuffle (docs/SCALING.md "PPO's extra
+# term"): shuffle_groups=S permutes within S env-contiguous row groups and
+# builds every minibatch from eff_batch/S rows of each group, so the gather
+# never crosses a shard when S is a multiple of the mesh size.
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_minibatches_stratified_permutation():
+    """Every minibatch holds exactly eff_batch/S rows from each group, and
+    the batching overall is a permutation (each rollout row used once)."""
+    from usv_tpu.train.ppo import grouped_minibatches
+
+    n_steps, num_envs, S, eff_batch = 8, 16, 4, 32
+    # leaf value = global env index -> group = value // (num_envs/S)
+    env_ids = jnp.broadcast_to(
+        jnp.arange(num_envs, dtype=jnp.float32)[None, :], (n_steps, num_envs)
+    )
+    # a second leaf tags each (step, env) row uniquely
+    row_ids = jnp.arange(n_steps * num_envs, dtype=jnp.float32).reshape(
+        n_steps, num_envs
+    )
+    out = grouped_minibatches(
+        dict(env=env_ids, row=row_ids), S, eff_batch, jax.random.key(3)
+    )
+    n_batches = n_steps * num_envs // eff_batch
+    assert out["env"].shape == (n_batches, eff_batch)
+    groups = np.asarray(out["env"]) // (num_envs // S)
+    for b in range(n_batches):
+        counts = np.bincount(groups[b].astype(int), minlength=S)
+        np.testing.assert_array_equal(counts, np.full(S, eff_batch // S))
+    # group g's rows occupy the contiguous slot [g*eff_local, (g+1)*eff_local)
+    eff_local = eff_batch // S
+    expected_slots = np.repeat(np.arange(S), eff_local)
+    np.testing.assert_array_equal(groups, np.tile(expected_slots,
+                                                  (n_batches, 1)))
+    # permutation property: every rollout row appears exactly once
+    rows = np.sort(np.asarray(out["row"]).ravel())
+    np.testing.assert_array_equal(rows, np.arange(n_steps * num_envs))
+    # and it actually shuffles (not the identity within groups)
+    assert not np.array_equal(np.asarray(out["row"]).ravel(),
+                              np.arange(n_steps * num_envs))
+
+
+def test_grouped_shuffle_sharded_matches_unsharded():
+    """The shuffle_groups program is placement-independent: the same
+    iteration on sharded vs unsharded inputs agrees (same FP-drift gates as
+    the production-shape PPO test)."""
+    cfg = PpoConfig(
+        n_steps=32, batch_size=128, n_epochs=2, num_envs=64,
+        pi_hidden=(64, 64), vf_hidden=(64, 64), frame_stack=3,
+        shuffle_groups=8,
+    )
+    learner = PpoLearner(make("usv-simple"), cfg)
+
+    ts_plain, r_plain = learner.train_iteration(learner.init(seed=0))
+
+    mesh = make_env_mesh()
+    ts_shard = shard_ppo_train_state(learner.init(seed=0), mesh)
+    ts_shard, r_shard = learner.train_iteration(ts_shard)
+
+    np.testing.assert_allclose(float(r_plain), float(r_shard),
+                               rtol=1e-4, atol=1e-5)
+    diffs = np.concatenate([
+        np.abs(np.asarray(la) - np.asarray(lb)).ravel()
+        for la, lb in zip(jax.tree.leaves(ts_plain.params),
+                          jax.tree.leaves(ts_shard.params))
+    ])
+    assert diffs.max() < 5e-3, f"max abs drift {diffs.max()}"
+
+
+def test_shard_local_shuffle_traffic():
+    """Asserted on the compiled HLO of the full sharded PPO iteration: with
+    the GLOBAL shuffle the update phase's collective traffic carries rollout
+    rows (grows with n_steps); with shuffle_groups == mesh size the row
+    gather is shard-local and collective bytes are rollout-size independent
+    (gradient reductions + per-minibatch scalar reductions only)."""
+    mesh = make_env_mesh()
+    n = mesh.devices.size
+
+    def lowered_bytes(groups, n_steps):
+        cfg = PpoConfig(
+            n_steps=n_steps, batch_size=64, n_epochs=1, num_envs=16,
+            pi_hidden=(32, 32), vf_hidden=(32, 32), frame_stack=2,
+            shuffle_groups=groups,
+        )
+        learner = PpoLearner(make("usv-simple"), cfg)
+        ts = shard_ppo_train_state(learner.init(seed=0), mesh)
+        txt = learner._jit_iter.lower(ts).compile().as_text()
+        return _collective_bytes(txt)
+
+    g64, g256 = lowered_bytes(0, 64), lowered_bytes(0, 256)
+    l64, l256 = lowered_bytes(n, 64), lowered_bytes(n, 256)
+
+    # positive control: the global shuffle's cross-shard row traffic scales
+    # with the rollout
+    assert g256 > 2 * g64, (g64, g256)
+    # grouped: gradients are still synchronized, but quadrupling the rollout
+    # adds only the per-minibatch scalar reductions (4x the minibatch count),
+    # nothing proportional to rollout BYTES — well under the global growth
+    assert l64 > 0
+    assert l256 - l64 < 0.02 * (g256 - g64), (l64, l256, g64, g256)
+    assert l256 < g256 / 4, (l256, g256)

@@ -71,6 +71,20 @@ class PpoConfig:
     # ONE shuffle per iteration (minibatches still random, epochs revisit
     # them in the same grouping) for ~1/n_epochs the shuffle traffic.
     reshuffle_epochs: bool = True
+    # Pod-scaling lever (docs/SCALING.md "PPO's extra term"): the minibatch
+    # permutation over the flattened rollout is the ONE PPO collective that
+    # scales with rollout bytes when the batch axis is sharded (~6 GB/chip/
+    # iteration at the at-scale shape). shuffle_groups=S > 1 permutes within
+    # S env-contiguous row groups instead and builds every minibatch from
+    # eff_batch/S rows of EACH group (stratified). The formulation is plain
+    # reshapes + a batched within-group gather, so it is placement-
+    # independent: on one chip S>1 emulates the pod sampling restriction for
+    # quality studies; sharded over an n-device mesh with S % n == 0 the
+    # partitioner keeps the gather chip-local and the update phase's only
+    # collective is the gradient psum (tests/test_parallel.py::
+    # test_shard_local_shuffle_traffic). 0/1 = global shuffle (SB3
+    # semantics). Requires num_envs % S == 0 and batch_size*fusion % S == 0.
+    shuffle_groups: int = 0
     # Numerical guard (utils/guards.py; see SacConfig.sanitize_envs): diverged
     # envs terminate with reward 0 and auto-reset instead of poisoning the
     # on-policy batch with NaN. Default ON.
@@ -84,6 +98,48 @@ class PpoConfig:
     # is the 8-bit observation mantissa (actions/logp/adv/ret stay f32 —
     # the PPO ratio is exp(logp - logp_old) and must not be quantized).
     rollout_obs_bf16: bool = False
+
+
+def grouped_minibatches(tree, n_groups, eff_batch, key):
+    """Stratified minibatching with group-local permutations.
+
+    ``tree`` leaves are rollout arrays of shape ``(n_steps, num_envs, *f)``.
+    Rows are regrouped env-major into ``n_groups`` env-contiguous groups,
+    permuted independently WITHIN each group, and every minibatch takes
+    ``eff_batch / n_groups`` rows from EACH group, returned as leaves of
+    shape ``(n_batches, eff_batch, *f)`` with group g's rows contiguous at
+    ``[g*eff_local, (g+1)*eff_local)``. Because the gather never crosses a
+    group and the merges keep the group axis major, the SPMD partitioner
+    keeps the whole operation shard-local when the env axis is sharded over
+    a mesh whose size divides ``n_groups`` (docs/SCALING.md, "PPO's extra
+    term"; tests/test_parallel.py::test_shard_local_shuffle_traffic)."""
+    leaves = jax.tree.leaves(tree)
+    n_steps, num_envs = leaves[0].shape[:2]
+    n_total = n_steps * num_envs
+    if num_envs % n_groups or eff_batch % n_groups:
+        raise ValueError(
+            f"shuffle_groups ({n_groups}) must divide num_envs "
+            f"({num_envs}) and batch_size*update_fusion ({eff_batch})"
+        )
+    n_local = n_total // n_groups
+    eff_local = eff_batch // n_groups
+    n_batches = n_total // eff_batch
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, n_local)
+    )(jax.random.split(key, n_groups))
+
+    def pick(x):
+        x = jnp.moveaxis(x, 0, 1)  # env-major: whole-env trajectories
+        x = x.reshape(n_groups, n_local, *x.shape[2:])
+        idx = perms.reshape(n_groups, n_local, *([1] * (x.ndim - 2)))
+        shuf = jnp.take_along_axis(x, idx, axis=1)
+        mb = shuf[:, : n_batches * eff_local].reshape(
+            n_groups, n_batches, eff_local, *x.shape[2:]
+        )
+        mb = jnp.moveaxis(mb, 0, 1)
+        return mb.reshape(n_batches, eff_batch, *x.shape[2:])
+
+    return jax.tree.map(pick, tree)
 
 
 @struct.dataclass
@@ -284,25 +340,42 @@ class PpoLearner:
 
         n_total = cfg.n_steps * cfg.num_envs
         obs_dtype = jnp.bfloat16 if cfg.rollout_obs_bf16 else jnp.float32
-        flat = dict(
-            obs=traj["obs"].reshape(n_total, -1).astype(obs_dtype),
-            action=traj["action"].reshape(n_total, -1),
-            logp=traj["logp"].reshape(n_total),
-            adv=advs.reshape(n_total),
-            ret=returns.reshape(n_total),
-        )
         eff_batch = cfg.batch_size * max(1, cfg.update_fusion)
         n_batches = n_total // eff_batch
 
-        def shuffle_batch(ek):
-            perm = jax.random.permutation(ek, n_total)
-            shuffled = jax.tree.map(lambda x: x[perm], flat)
-            return jax.tree.map(
-                lambda x: x[: n_batches * eff_batch].reshape(
-                    n_batches, eff_batch, *x.shape[1:]
-                ),
-                shuffled,
+        if cfg.shuffle_groups > 1:
+            # Grouped (shard-local-able) shuffle — see the config comment
+            # and grouped_minibatches above.
+            rollout = dict(
+                obs=traj["obs"].astype(obs_dtype),
+                action=traj["action"],
+                logp=traj["logp"],
+                adv=advs,
+                ret=returns,
             )
+
+            def shuffle_batch(ek):
+                return grouped_minibatches(
+                    rollout, cfg.shuffle_groups, eff_batch, ek
+                )
+        else:
+            flat = dict(
+                obs=traj["obs"].reshape(n_total, -1).astype(obs_dtype),
+                action=traj["action"].reshape(n_total, -1),
+                logp=traj["logp"].reshape(n_total),
+                adv=advs.reshape(n_total),
+                ret=returns.reshape(n_total),
+            )
+
+            def shuffle_batch(ek):
+                perm = jax.random.permutation(ek, n_total)
+                shuffled = jax.tree.map(lambda x: x[perm], flat)
+                return jax.tree.map(
+                    lambda x: x[: n_batches * eff_batch].reshape(
+                        n_batches, eff_batch, *x.shape[1:]
+                    ),
+                    shuffled,
+                )
 
         def minibatch(carry, batch):
             params, opt_state = carry

@@ -110,6 +110,11 @@ def build_parser():
                    help="store rollout observations in bf16 for the update "
                         "phase (halves the dominant per-epoch HBM stream; "
                         "docs/PERFORMANCE.md)")
+    p.add_argument("--shuffle-groups", type=int, default=0,
+                   help="permute minibatch rows within N env-contiguous "
+                        "groups instead of globally (stratified minibatches; "
+                        "keeps the shuffle shard-local on an N-divisible "
+                        "device mesh — docs/SCALING.md; 0 = global shuffle)")
     p.add_argument("--video-every-iters", type=int, default=0,
                    help="record a policy episode video every N iterations")
     p.add_argument("--watch-every-iters", type=int, default=20,
@@ -174,6 +179,7 @@ def run_population(args):
         lr_decay_updates=args.lr_decay_updates or None,
         update_fusion=args.update_fusion,
         reshuffle_epochs=not args.single_shuffle,
+        shuffle_groups=args.shuffle_groups,
     )
     learner = PpoLearner(handle, cfg)
     seeds = list(range(args.seed, args.seed + args.population))
@@ -284,6 +290,7 @@ def main(argv=None):
         lr_decay_updates=args.lr_decay_updates or None,
         update_fusion=args.update_fusion,
         reshuffle_epochs=not args.single_shuffle,
+        shuffle_groups=args.shuffle_groups,
     )
     learner = PpoLearner(handle, cfg)
     ts = learner.init(seed=args.seed)
