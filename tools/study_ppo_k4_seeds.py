@@ -66,6 +66,10 @@ def main():
     p.add_argument("--eval-episodes", type=int, default=16)
     p.add_argument("--eval-seeds", type=int, default=3,
                    help="re-eval each bundle across this many eval seeds")
+    p.add_argument("--train-arg", action="append", default=[],
+                   help="extra run_ppo flag, repeatable (e.g. "
+                        "--train-arg=--shuffle-groups --train-arg=8 to "
+                        "study the pod sampling restriction on one chip)")
     p.add_argument("--outdir", default="runs/ppo_seed_study")
     p.add_argument("--artifact",
                    default="docs/artifacts/ppo_k4_seed_study_r3.json")
@@ -90,7 +94,7 @@ def main():
             "--logdir", logdir,
             "--checkpoint-every-iters", "0",
             "--video-every-iters", "0",
-        ])
+        ] + args.train_arg)
         train_s = time.time() - t0
         bundle = f"{logdir}/policy_best"
         if not Path(bundle, "policy.json").exists():
@@ -116,6 +120,7 @@ def main():
     sd = (sum((m - mu) ** 2 for m in means) / max(1, len(means) - 1)) ** 0.5
     summary = dict(
         recipe=args.recipe,
+        train_arg=args.train_arg,
         env=args.env,
         best_metric=args.best_metric,
         total_steps=args.total_steps,
