@@ -393,6 +393,7 @@ def test_sac_cli_at_scale_recipe_resolution():
         ns = argparse.Namespace(
             recipe="none", num_envs=None, train_freq=None,
             gradient_steps=None, update_fusion=None, lr=None,
+            population=None, buffer_size=None,
         )
         for k, v in argv.items():
             setattr(ns, k, v)
