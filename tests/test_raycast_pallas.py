@@ -127,9 +127,18 @@ def _tangency_flips(d, eps, n=256, fold_lateral=True):
     return flips, max_err
 
 
-pytest.importorskip("usv_tpu.native", reason="tangency oracle needs g++")
+try:  # the 3 kernel tests above compare vs XLA and never need the oracle
+    import usv_tpu.native  # noqa: F401
+    _HAVE_NATIVE = True
+except Exception:
+    _HAVE_NATIVE = False
+
+needs_native = pytest.mark.skipif(
+    not _HAVE_NATIVE, reason="tangency oracle needs the native (g++) build"
+)
 
 
+@needs_native
 @pytest.mark.parametrize("d", [5.0, 20.0, 50.0, 100.0])
 @pytest.mark.parametrize("eps", [1e-1, 1e-2])
 def test_tangency_no_flips_above_1cm(d, eps):
@@ -139,8 +148,7 @@ def test_tangency_no_flips_above_1cm(d, eps):
     flips, max_err = _tangency_flips(d, eps, fold_lateral=True)
     assert flips == 0, f"d={d} |b-r|={eps}: {flips} flip scenes"
     assert max_err < 2e-2, f"d={d} |b-r|={eps}: dist err {max_err}"
-
-
+@needs_native
 def test_tangency_grazing_flip_rate_bounded():
     """At the millimeter knife edge (|b-r| = 1e-3 m at d = 100 m, where
     |b^2 - r^2| ~ ulp(d^2)) the fused kernel's flip rate stays below 2%
@@ -148,8 +156,7 @@ def test_tangency_grazing_flip_rate_bounded():
     flips, max_err = _tangency_flips(100.0, 1e-3, n=512, fold_lateral=True)
     assert flips <= 10, f"flip rate {flips}/512 exceeds the 2% bound"
     assert max_err < 5e-2
-
-
+@needs_native
 def test_tangency_unfused_is_flip_free_at_knife_edge():
     """The opt-out (fold_lateral=False, the v2 lateral form) is the escape
     hatch the ADVICE r3 finding asked to document: at |b-r| = 1e-4 m —

@@ -48,7 +48,7 @@ def predict(args):
     for learner in ("sac", "ppo"):
         d = _PREDICT_DEFAULTS[learner]
         steps_per_s = (
-            args.predict_steps_per_s or d["steps_per_s"]
+            getattr(args, f"predict_{learner}_steps_per_s") or d["steps_per_s"]
         )
         updates_per_s = steps_per_s * d["updates_per_step"]
         g_bytes = d["grad_mb"] * 1e6 * (0.5 if args.predict_bf16_grads else 1.0)
@@ -92,8 +92,12 @@ def main():
                    help="per-chip ICI injection bandwidth on the ring axis "
                         "(90 = one bidirectional v4 torus axis at 45 GB/s "
                         "per direction)")
-    p.add_argument("--predict-steps-per-s", type=float, default=0,
-                   help="override the measured single-chip steps/s input")
+    p.add_argument("--predict-sac-steps-per-s", type=float, default=0,
+                   help="override the measured single-chip SAC steps/s "
+                        "input (per-learner so one calibration never "
+                        "corrupts the other learner's rows)")
+    p.add_argument("--predict-ppo-steps-per-s", type=float, default=0,
+                   help="override the measured single-chip PPO steps/s input")
     p.add_argument("--predict-bf16-grads", action="store_true",
                    help="model a bf16 gradient all-reduce (halves bytes)")
     args = p.parse_args()

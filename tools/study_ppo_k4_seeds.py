@@ -28,30 +28,6 @@ import json
 import time
 
 
-def bundle_eval(env_id, policy_dir, best_metric, steps, episodes, seed):
-    """The run_eval batched summary metrics — the SAME implementation the
-    CLI uses (evaluate.batch_policy_metrics), so the artifact numbers cannot
-    desynchronize from the quoted protocol. Returns a dict with
-    ``reward_per_step`` and, when the env reports outcomes and
-    ``best_metric == 'arrivals'``, ``arrival_rate``/``collision_rate``
-    (fractions of finished episodes)."""
-    from usv_tpu.envs import make
-    from usv_tpu.train.evaluate import batch_policy_metrics
-    from usv_tpu.train.policy import load_policy
-
-    policy = load_policy(policy_dir)
-    metrics = batch_policy_metrics(
-        make(env_id), policy, n_steps=steps, num_envs=episodes,
-        seed=seed, frame_stack=policy.frame_stack,
-    )
-    out = dict(reward_per_step=metrics["reward_per_step"])
-    if best_metric == "arrivals":
-        episodes_done = max(metrics["episodes_finished"], 1)
-        out["arrival_rate"] = metrics.get("info_arrived", 0) / episodes_done
-        out["collision_rate"] = metrics.get("info_collision", 0) / episodes_done
-    return out
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=5)
@@ -72,7 +48,9 @@ def main():
                         "study the pod sampling restriction on one chip)")
     p.add_argument("--outdir", default="runs/ppo_seed_study")
     p.add_argument("--artifact",
-                   default="docs/artifacts/ppo_k4_seed_study_r3.json")
+                   # deliberately NOT a committed docs/artifacts/ name: a
+                   # default invocation must never clobber a quoted artifact
+                   default="runs/ppo_seed_study/summary.json")
     args = p.parse_args()
 
     from usv_tpu.train import run_ppo
@@ -100,9 +78,12 @@ def main():
         if not Path(bundle, "policy.json").exists():
             # short smoke runs may end before the first in-run eval fires
             bundle = f"{logdir}/policy"
+        from usv_tpu.train.evaluate import bundle_eval
+
         evals = [
-            bundle_eval(args.env, bundle, args.best_metric,
-                        args.eval_steps, args.eval_episodes, seed=es)
+            bundle_eval(args.env, bundle, best_metric=args.best_metric,
+                        steps=args.eval_steps, episodes=args.eval_episodes,
+                        seed=es)
             for es in range(args.eval_seeds)
         ]
         rec = dict(

@@ -30,19 +30,6 @@ import json
 import time
 
 
-def bundle_eval(env_id, policy_dir, steps=1000, episodes=16, seed=0):
-    from usv_tpu.envs import make
-    from usv_tpu.train.evaluate import batch_policy_metrics
-    from usv_tpu.train.policy import load_policy
-
-    policy = load_policy(policy_dir)
-    metrics = batch_policy_metrics(
-        make(env_id), policy, n_steps=steps, num_envs=episodes,
-        seed=seed, frame_stack=policy.frame_stack,
-    )
-    return metrics["reward_per_step"]
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--invocations", type=int, default=5)
@@ -60,6 +47,11 @@ def main():
     args = p.parse_args()
 
     from usv_tpu.train import run_ppo
+    from usv_tpu.train.evaluate import bundle_eval as _bundle_eval
+
+    def bundle_eval(env_id, policy_dir, seed=0):
+        return _bundle_eval(env_id, policy_dir, steps=1000, episodes=16,
+                            seed=seed)["reward_per_step"]
 
     out = dict(env=args.env, total_steps=args.total_steps,
                population=args.population,

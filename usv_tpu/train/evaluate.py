@@ -89,6 +89,31 @@ def batch_policy_metrics(
     )
 
 
+def bundle_eval(env_id, policy_dir, *, best_metric="reward", steps=1000,
+                episodes=16, seed=0) -> dict:
+    """The studies' shared bundle re-eval: load an exported policy bundle
+    and run :func:`batch_policy_metrics` (the SAME implementation the
+    run_eval CLI uses, so artifact numbers cannot desynchronize from the
+    quoted protocol). Returns ``{"reward_per_step": ...}`` plus, when
+    ``best_metric == 'arrivals'`` and the env reports outcomes,
+    ``arrival_rate``/``collision_rate`` as fractions of finished episodes.
+    Used by tools/study_ppo_k4_seeds.py and tools/study_robust_recipe.py."""
+    from usv_tpu.envs import make
+    from usv_tpu.train.policy import load_policy
+
+    policy = load_policy(policy_dir)
+    metrics = batch_policy_metrics(
+        make(env_id), policy, n_steps=steps, num_envs=episodes,
+        seed=seed, frame_stack=policy.frame_stack,
+    )
+    out = dict(reward_per_step=metrics["reward_per_step"])
+    if best_metric == "arrivals":
+        episodes_done = max(metrics["episodes_finished"], 1)
+        out["arrival_rate"] = metrics.get("info_arrived", 0) / episodes_done
+        out["collision_rate"] = metrics.get("info_collision", 0) / episodes_done
+    return out
+
+
 def rollout_with_info(
     handle: EnvHandle,
     policy_fn: Callable,

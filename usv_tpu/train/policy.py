@@ -47,6 +47,7 @@ def export_policy(learner, train_state, path, extra_meta=None) -> str:
             action_high=list(learner.action_high),
             use_sde=learner.cfg.use_sde,
             frame_stack=learner.cfg.frame_stack,
+            compute_dtype=learner.cfg.compute_dtype,
         )
         params = train_state.actor_params
     elif isinstance(learner, PpoLearner):
@@ -61,6 +62,7 @@ def export_policy(learner, train_state, path, extra_meta=None) -> str:
             action_high=list(np.asarray(learner.handle.cfg.action_high, float)),
             use_sde=learner.cfg.use_sde,
             frame_stack=learner.cfg.frame_stack,
+            compute_dtype=learner.cfg.compute_dtype,
         )
         params = train_state.params
     else:
@@ -113,8 +115,18 @@ def replay_recorded_eval(handle, bundle_path) -> dict:
             f"{bundle_path} has no recorded in-run eval (exported by an "
             "older CLI, or as a final 'policy' rather than 'policy_best')"
         )
+    if rec.get("env") and rec["env"] != handle.env_id:
+        raise ValueError(
+            f"bundle's recorded eval ran on {rec['env']!r} but the given "
+            f"env handle is {handle.env_id!r} — replay with the recorded "
+            "env (run_eval --env) or the comparison is meaningless"
+        )
     policy = load_policy(bundle_path)
 
+    # compute_dtype must be restored too: a --bf16 run's in-run eval scored
+    # the model under bfloat16 matmuls, and replaying it in f32 would report
+    # a false export-infidelity mismatch (old bundles lack the field -> f32)
+    compute_dtype = meta.get("compute_dtype", "float32")
     if meta["kind"] == "sac":
         from usv_tpu.train.sac import SacConfig, SacLearner
 
@@ -124,6 +136,7 @@ def replay_recorded_eval(handle, bundle_path) -> dict:
             use_sde=meta["use_sde"],
             frame_stack=meta["frame_stack"],
             num_envs=rec["num_envs"],
+            compute_dtype=compute_dtype,
         ))
     else:
         from usv_tpu.train.ppo import PpoConfig, PpoLearner
@@ -135,6 +148,7 @@ def replay_recorded_eval(handle, bundle_path) -> dict:
             use_sde=meta["use_sde"],
             frame_stack=meta["frame_stack"],
             num_envs=rec["num_envs"],
+            compute_dtype=compute_dtype,
         ))
     key = jax.random.wrap_key_data(
         jnp.asarray(rec["key_data"], jnp.uint32)

@@ -21,6 +21,120 @@ from usv_tpu.train.metrics import score_eval_stats
 from usv_tpu.train.policy import export_policy, in_run_eval_meta
 
 
+def run_population_loop(learner, seeds, ts, args, *, train_many,
+                        total_units, steps_per_unit, eval_every,
+                        params_of) -> None:
+    """The shared ``--recipe robust`` training loop (one body for the SAC and
+    PPO CLIs): repeatedly step the vmapped population via ``train_many(ts)
+    -> (ts, extra_metrics)``, snapshot each seed's best-eval params every
+    ``eval_every`` units, optionally cull to the best seeds at
+    ``--cull-at-frac`` (one retrace at the smaller S), then hand the
+    candidates to :func:`select_and_export_winner`. ``params_of(ts)`` picks
+    the exportable actor params from the population train state."""
+    import time
+
+    from usv_tpu.train.metrics import MetricLogger, score_eval_stats
+
+    # Features of the single-seed loops that have no population analog yet
+    # are surfaced, not silently dropped (ADVICE r4): a population run keeps
+    # its best-snapshot state in host memory only.
+    if getattr(args, "resume", False):
+        raise SystemExit(
+            "--resume is not supported with --population/--recipe robust: "
+            "population runs keep no on-disk checkpoint to resume from"
+        )
+    dropped = [
+        f for f in ("checkpoint_every_iters", "checkpoint_every_blocks",
+                    "video_every_iters", "video_every_blocks",
+                    "watch_every_iters")
+        if getattr(args, f, 0)
+    ]
+    if dropped:
+        print(
+            "population mode: no per-seed checkpoints/videos/param-watch — "
+            f"ignoring {', '.join('--' + f.replace('_', '-') for f in dropped)} "
+            "(pass 0 to silence)",
+            flush=True,
+        )
+
+    logger = MetricLogger(args.logdir, config=vars(args))
+    cull_keep = args.cull_keep or max(2, args.population // 2)
+    cull_unit = (
+        max(1, int(total_units * args.cull_at_frac))
+        if args.cull_at_frac else 0
+    )
+    best = [dict(score=float("-inf"), params=None, stats=None) for _ in seeds]
+
+    unit = 0
+    t0 = time.time()
+    while unit < total_units:
+        ts, extra = train_many(ts)
+        unit += 1
+        sps = steps_per_unit * len(seeds) / max(1e-9, time.time() - t0)
+        metrics = dict(
+            env_steps_per_seed=unit * steps_per_unit,
+            seeds_alive=len(seeds),
+            aggregate_steps_per_second=sps,
+            **extra,
+        )
+        if eval_every and unit % eval_every == 0:
+            stats = learner.eval_policy_stats_many(
+                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
+            )
+            params_host = None
+            scores = []
+            for i in range(len(seeds)):
+                stats_i = {k: float(v[i]) for k, v in stats.items()}
+                _, score = score_eval_stats(stats_i, args.best_metric)
+                scores.append(float(score))
+                if score > best[i]["score"]:
+                    if params_host is None:
+                        params_host = jax.device_get(params_of(ts))
+                    best[i] = dict(
+                        score=float(score),
+                        params=jax.tree.map(lambda x: x[i], params_host),
+                        stats=stats_i,
+                    )
+            metrics.update(
+                eval_scores=[round(s, 4) for s in scores],
+                eval_best_so_far=[round(b["score"], 4) for b in best],
+            )
+        if (cull_unit and unit >= cull_unit and len(seeds) > cull_keep
+                and any(np.isfinite(b["score"]) for b in best)):
+            # racing: keep the best-so-far seeds; one retrace at the new S
+            order = np.argsort([-b["score"] for b in best])
+            keep = sorted(int(i) for i in order[:cull_keep])
+            metrics["culled_seeds"] = [
+                seeds[i] for i in range(len(seeds)) if i not in keep
+            ]
+            seeds = [seeds[i] for i in keep]
+            best = [best[i] for i in keep]
+            idx = jax.numpy.asarray(keep)
+            ts = jax.tree.map(lambda x: x[idx], ts)
+        logger.log(unit * steps_per_unit, **{
+            k: v for k, v in metrics.items() if isinstance(v, (int, float))
+        })
+        print({k: (round(v, 3) if isinstance(v, float) else v)
+               for k, v in metrics.items()}, flush=True)
+        t0 = time.time()
+
+    final_params = jax.device_get(params_of(ts))
+    candidates = []
+    for i in range(len(seeds)):
+        cand = best[i] if best[i]["params"] is not None else dict(
+            score=float("-inf"),
+            params=jax.tree.map(lambda x: x[i], final_params),
+        )
+        candidates.append(cand)
+    select_and_export_winner(
+        learner, seeds, candidates, args,
+        final_params_of_winner=lambda w: jax.tree.map(
+            lambda x: x[w], final_params
+        ),
+    )
+    logger.close()
+
+
 def select_and_export_winner(learner, seeds, candidates, args,
                              final_params_of_winner=None) -> int:
     """Population endgame; see module docstring.

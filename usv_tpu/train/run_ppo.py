@@ -158,12 +158,10 @@ def run_population(args):
     cull, and winner selection by the shared eval protocol (VERDICT r3
     next-#1 — the reference's counterpart is N separate SB3 runs plus a
     human picking the best, sb3_train_vec.py:58-81)."""
-    import jax
     import numpy as np
 
     from usv_tpu.envs import make
-    from usv_tpu.train.metrics import MetricLogger, score_eval_stats
-    from usv_tpu.train.population import select_and_export_winner
+    from usv_tpu.train.population import run_population_loop
     from usv_tpu.train.ppo import PpoConfig, PpoLearner
 
     env_kwargs = {"ignore_obstacles": True} if args.ignore_obstacles else {}
@@ -184,86 +182,22 @@ def run_population(args):
     learner = PpoLearner(handle, cfg)
     seeds = list(range(args.seed, args.seed + args.population))
     ts = learner.init_many(seeds)
-    logger = MetricLogger(args.logdir, config=vars(args))
 
     steps_per_iter = cfg.n_steps * cfg.num_envs  # per seed
     total_iters = max(1, -(-int(args.total_steps) // steps_per_iter))
-    cull_keep = args.cull_keep or max(2, args.population // 2)
-    cull_iter = (
-        max(1, int(total_iters * args.cull_at_frac))
-        if args.cull_at_frac else 0
-    )
-    best = [dict(score=float("-inf"), params=None, stats=None) for _ in seeds]
 
-    it = 0
-    t0 = time.time()
-    while it < total_iters:
+    def train_many(ts):
         ts, rewards = learner.train_iteration_many(ts)
-        it += 1
-        rewards = np.asarray(rewards)  # device sync
-        sps = steps_per_iter * len(seeds) / max(1e-9, time.time() - t0)
-        metrics = dict(
-            env_steps_per_seed=it * steps_per_iter,
-            seeds_alive=len(seeds),
-            aggregate_steps_per_second=sps,
-            mean_reward=float(rewards.mean()),
-        )
-        if args.eval_every_iters and it % args.eval_every_iters == 0:
-            stats = learner.eval_policy_stats_many(
-                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
-            )
-            params_host = None
-            scores = []
-            for i in range(len(seeds)):
-                stats_i = {k: float(v[i]) for k, v in stats.items()}
-                _, score = score_eval_stats(stats_i, args.best_metric)
-                scores.append(float(score))
-                if score > best[i]["score"]:
-                    if params_host is None:
-                        params_host = jax.device_get(ts.params)
-                    best[i] = dict(
-                        score=float(score),
-                        params=jax.tree.map(lambda x: x[i], params_host),
-                        stats=stats_i,
-                    )
-            metrics.update(
-                eval_scores=[round(s, 4) for s in scores],
-                eval_best_so_far=[round(b["score"], 4) for b in best],
-            )
-        if (cull_iter and it >= cull_iter and len(seeds) > cull_keep
-                and any(np.isfinite(b["score"]) for b in best)):
-            # racing: keep the best-so-far seeds; one retrace at the new S
-            order = np.argsort([-b["score"] for b in best])
-            keep = sorted(int(i) for i in order[:cull_keep])
-            metrics["culled_seeds"] = [
-                seeds[i] for i in range(len(seeds)) if i not in keep
-            ]
-            seeds = [seeds[i] for i in keep]
-            best = [best[i] for i in keep]
-            idx = jax.numpy.asarray(keep)
-            ts = jax.tree.map(lambda x: x[idx], ts)
-        logger.log(it * steps_per_iter, **{
-            k: v for k, v in metrics.items() if isinstance(v, (int, float))
-        })
-        print({k: (round(v, 3) if isinstance(v, float) else v)
-               for k, v in metrics.items()}, flush=True)
-        t0 = time.time()
+        return ts, dict(mean_reward=float(np.asarray(rewards).mean()))
 
-    final_params = jax.device_get(ts.params)
-    candidates = []
-    for i in range(len(seeds)):
-        cand = best[i] if best[i]["params"] is not None else dict(
-            score=float("-inf"),
-            params=jax.tree.map(lambda x: x[i], final_params),
-        )
-        candidates.append(cand)
-    select_and_export_winner(
-        learner, seeds, candidates, args,
-        final_params_of_winner=lambda w: jax.tree.map(
-            lambda x: x[w], final_params
-        ),
+    run_population_loop(
+        learner, seeds, ts, args,
+        train_many=train_many,
+        total_units=total_iters,
+        steps_per_unit=steps_per_iter,
+        eval_every=args.eval_every_iters,
+        params_of=lambda ts: ts.params,
     )
-    logger.close()
 
 
 def main(argv=None):

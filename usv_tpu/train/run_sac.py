@@ -68,14 +68,10 @@ def run_sac_population(args):
     shared eval protocol (usv_tpu/train/population.py; VERDICT r3 next-#1).
     Per-seed budget = ``--total-steps`` (aggregate compute = population x
     that, in one dispatch stream)."""
-    import time
-
-    import jax
     import numpy as np
 
     from usv_tpu.envs import make
-    from usv_tpu.train.metrics import MetricLogger, score_eval_stats
-    from usv_tpu.train.population import select_and_export_winner
+    from usv_tpu.train.population import run_population_loop
     from usv_tpu.train.sac import SacConfig, SacLearner
 
     env_kwargs = {"ignore_obstacles": True} if args.ignore_obstacles else {}
@@ -102,85 +98,23 @@ def run_sac_population(args):
     learner = SacLearner(handle, cfg)
     seeds = list(range(args.seed, args.seed + args.population))
     ts = learner.init_many(seeds)
-    logger = MetricLogger(args.logdir, config=vars(args))
 
     steps_per_block = args.rounds_per_block * cfg.train_freq * cfg.num_envs
     total_blocks = max(1, -(-int(args.total_steps) // steps_per_block))
-    cull_keep = args.cull_keep or max(2, args.population // 2)
-    cull_block = (
-        max(1, int(total_blocks * args.cull_at_frac))
-        if args.cull_at_frac else 0
-    )
-    best = [dict(score=float("-inf"), params=None, stats=None) for _ in seeds]
 
-    block = 0
-    t0 = time.time()
-    while block < total_blocks:
+    def train_many(ts):
         ts, reward_sum = learner.train_rounds_many(ts, args.rounds_per_block)
-        block += 1
-        reward_sum = np.asarray(reward_sum)  # device sync
-        sps = steps_per_block * len(seeds) / max(1e-9, time.time() - t0)
-        metrics = dict(
-            env_steps_per_seed=block * steps_per_block,
-            seeds_alive=len(seeds),
-            aggregate_steps_per_second=sps,
-            collect_reward_per_step=float(reward_sum.mean()) / steps_per_block,
-        )
-        if args.eval_every_blocks and block % args.eval_every_blocks == 0:
-            stats = learner.eval_policy_stats_many(
-                ts, n_steps=args.eval_steps, num_envs=args.eval_envs
-            )
-            params_host = None
-            scores = []
-            for i in range(len(seeds)):
-                stats_i = {k: float(v[i]) for k, v in stats.items()}
-                _, score = score_eval_stats(stats_i, args.best_metric)
-                scores.append(float(score))
-                if score > best[i]["score"]:
-                    if params_host is None:
-                        params_host = jax.device_get(ts.actor_params)
-                    best[i] = dict(
-                        score=float(score),
-                        params=jax.tree.map(lambda x: x[i], params_host),
-                        stats=stats_i,
-                    )
-            metrics.update(
-                eval_scores=[round(s, 4) for s in scores],
-                eval_best_so_far=[round(b["score"], 4) for b in best],
-            )
-        if (cull_block and block >= cull_block and len(seeds) > cull_keep
-                and any(np.isfinite(b["score"]) for b in best)):
-            order = np.argsort([-b["score"] for b in best])
-            keep = sorted(int(i) for i in order[:cull_keep])
-            metrics["culled_seeds"] = [
-                seeds[i] for i in range(len(seeds)) if i not in keep
-            ]
-            seeds = [seeds[i] for i in keep]
-            best = [best[i] for i in keep]
-            idx = jax.numpy.asarray(keep)
-            ts = jax.tree.map(lambda x: x[idx], ts)
-        logger.log(block * steps_per_block, **{
-            k: v for k, v in metrics.items() if isinstance(v, (int, float))
-        })
-        print({k: (round(v, 3) if isinstance(v, float) else v)
-               for k, v in metrics.items()}, flush=True)
-        t0 = time.time()
+        per_step = float(np.asarray(reward_sum).mean()) / steps_per_block
+        return ts, dict(collect_reward_per_step=per_step)
 
-    final_params = jax.device_get(ts.actor_params)
-    candidates = []
-    for i in range(len(seeds)):
-        cand = best[i] if best[i]["params"] is not None else dict(
-            score=float("-inf"),
-            params=jax.tree.map(lambda x: x[i], final_params),
-        )
-        candidates.append(cand)
-    select_and_export_winner(
-        learner, seeds, candidates, args,
-        final_params_of_winner=lambda w: jax.tree.map(
-            lambda x: x[w], final_params
-        ),
+    run_population_loop(
+        learner, seeds, ts, args,
+        train_many=train_many,
+        total_units=total_blocks,
+        steps_per_unit=steps_per_block,
+        eval_every=args.eval_every_blocks,
+        params_of=lambda ts: ts.actor_params,
     )
-    logger.close()
 
 
 def main(argv=None):
