@@ -52,6 +52,29 @@ def test_multi_accumulator_matches_single_chain(first_hit, n_acc):
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-6)
 
 
+def test_defer_sqrt_matches_in_loop_form():
+    """The squared-space hit test (sqrt hoisted out of the obstacle loop)
+    must reproduce the in-loop-sqrt kernel exactly away from the
+    measure-zero equality tie; several scene scales including rays that
+    start inside obstacles and hits near max_range."""
+    for seed, scale in [(0, 20.0), (1, 100.0), (2, 200.0)]:
+        rng = np.random.default_rng(seed)
+        B, K = 32, 12
+        pos = jnp.asarray(rng.uniform(-scale, scale, (B, 3)), jnp.float32)
+        oxy = jnp.asarray(rng.uniform(-scale, scale, (B, K, 2)), jnp.float32)
+        orr = jnp.asarray(rng.uniform(0.15, 6.0, (B, K)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(0, 1, (B, K)) > 0.3)
+        base = raycast_pallas_batched(
+            pos, oxy, orr, mask, 64, 100.0, first_hit=True, interpret=True,
+            defer_sqrt=False,
+        )
+        got = raycast_pallas_batched(
+            pos, oxy, orr, mask, 64, 100.0, first_hit=True, interpret=True,
+            defer_sqrt=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_interpret_handles_nonmultiple_batch():
     pos, oxy, orr, mask = _scene(B=7)
     got = raycast_pallas_batched(

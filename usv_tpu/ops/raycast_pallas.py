@@ -29,11 +29,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 ENV_TILE = 128  # envs per program (lane width)
 
+# Kernel v5 (round 4): the per-obstacle sqrt moves out of the hot loop —
+# carry the winner's (xk, delta) and test hit-ness in squared space, one
+# sqrt on the winner after the loop. Same-session A/B/A/B at the 4096-env
+# bench protocol: 27.24/26.98 (v4) vs 28.66/28.60 M env-steps/s (v5),
+# +5.6%. Parity: bitwise-identical to the in-loop form on random scenes
+# (interpret mode; tests/test_raycast_pallas.py::
+# test_defer_sqrt_matches_in_loop_form); the only divergence is the
+# measure-zero exact-equality tie noted in the kernel. Default ON;
+# USV_RAYCAST_DEFER_SQRT=0 restores v4 for A/B measurement
+# process-by-process (the env-var form lets bench.py A/B the full
+# production program with envs untouched).
+import os as _os
+
+DEFER_SQRT_DEFAULT = _os.environ.get("USV_RAYCAST_DEFER_SQRT", "1") == "1"
+
 
 def _batched_kernel(
     *refs,
     sensor_count, max_range, resolution, first_hit, n_obs, n_acc,
-    angle_addition, fold_lateral,
+    angle_addition, fold_lateral, defer_sqrt,
 ):
     if angle_addition:
         pose_ref, ox_ref, oy_ref, or_ref, aux_ref, ray_ref, out_ref = refs
@@ -73,13 +88,19 @@ def _batched_kernel(
     # nx/ny form.)
 
     def init():
+        if first_hit and defer_sqrt:
+            # carry (key, xk, delta) and take ONE sqrt after the loop
+            return (
+                jnp.full((sensor_count, ENV_TILE), jnp.inf, jnp.float32),
+                jnp.zeros((sensor_count, ENV_TILE), jnp.float32),
+                jnp.full((sensor_count, ENV_TILE), jnp.inf, jnp.float32),
+            )
         return (
             jnp.full((sensor_count, ENV_TILE), jnp.inf, jnp.float32),
             jnp.full((sensor_count, ENV_TILE), max_range, jnp.float32),
         )
 
     def body(k, carry):
-        best_key, best_dist = carry
         nx = ox_ref[pl.ds(k, 1), :] - x          # (1, T)
         ny = oy_ref[pl.ds(k, 1), :] - y
         xk = c * nx + s * ny                     # (R, T)
@@ -99,7 +120,30 @@ def _batched_kernel(
             r2 = or_ref[pl.ds(k, 1), :]          # radius SQUARED (prefolded)
             yk = s * nx - c * ny
             delta = r2 - yk * yk
+        if first_hit and defer_sqrt:
+            # Kernel v5 candidate: keep the sqrt OUT of the per-obstacle
+            # loop by carrying (xk, delta) of the current winner and
+            # testing hit-ness in squared space:
+            #   dist < max_range  <=>  sqrt(delta) > xk - max_range
+            #                     <=>  delta >= max(xk - max_range, 0)^2
+            # (both sides non-negative once xk >= 0; >= keeps the
+            # delta == 0 grazing hit, and differs from the sqrt form only
+            # at exact f32 equality of delta and (xk - max_range)^2 — a
+            # measure-zero tie the unstable-argsort reference semantics
+            # do not pin). One sqrt on the winning (R, T) pair replaces
+            # n_obs sqrts.
+            best_key, best_xk, best_delta = carry
+            key_k = aux_ref[pl.ds(k, 1), :]      # (1, T)
+            t = jnp.maximum(xk - max_range, 0.0)
+            better = (
+                (xk >= 0.0) & (delta >= t * t) & (key_k < best_key)
+            )
+            best_xk = jnp.where(better, xk, best_xk)
+            best_delta = jnp.where(better, delta, best_delta)
+            best_key = jnp.where(better, key_k, best_key)
+            return best_key, best_xk, best_delta
         if first_hit:
+            best_key, best_dist = carry
             # No delta>=0 test and no maximum(delta, 0): a miss (delta < 0)
             # makes sqrt return NaN, NaN poisons dist, and `dist < max_range`
             # is then false — the IEEE semantics do the gating for free.
@@ -116,13 +160,14 @@ def _batched_kernel(
             )
             best_dist = jnp.where(better, dist, best_dist)
             best_key = jnp.where(better, key_k, best_key)
-        else:
-            # true-min folds dist into a running minimum, so NaN must be
-            # clamped out here (jnp.minimum would propagate it)
-            dist = xk - jnp.sqrt(jnp.maximum(delta, 0.0))
-            m = aux_ref[pl.ds(k, 1), :]
-            valid = (xk >= 0.0) & (delta >= 0.0) & (m > 0.5)
-            best_dist = jnp.minimum(best_dist, jnp.where(valid, dist, max_range))
+            return best_key, best_dist
+        best_key, best_dist = carry
+        # true-min folds dist into a running minimum, so NaN must be
+        # clamped out here (jnp.minimum would propagate it)
+        dist = xk - jnp.sqrt(jnp.maximum(delta, 0.0))
+        m = aux_ref[pl.ds(k, 1), :]
+        valid = (xk >= 0.0) & (delta >= 0.0) & (m > 0.5)
+        best_dist = jnp.minimum(best_dist, jnp.where(valid, dist, max_range))
         return best_key, best_dist
 
     # Mosaic supports only full unroll; K<=64 keeps the unrolled body small
@@ -149,6 +194,18 @@ def _batched_kernel(
             jax.lax.fori_loop(0, n_a, chain, init(), unroll=max(n_a, 1))
             if n_a else init()
         )
+    if first_hit and defer_sqrt:
+        best_key, best_xk, best_delta = parts[0]
+        for key_a, xk_a, delta_a in parts[1:]:
+            take = key_a < best_key
+            best_key = jnp.where(take, key_a, best_key)
+            best_xk = jnp.where(take, xk_a, best_xk)
+            best_delta = jnp.where(take, delta_a, best_delta)
+        # the deferred sqrt: never-updated slots have best_delta = +inf, so
+        # dist = -inf there; the isfinite(best_key) select masks them anyway
+        best_dist = best_xk - jnp.sqrt(best_delta)
+        out_ref[:, :] = jnp.where(jnp.isfinite(best_key), best_dist, max_range)
+        return
     best_key, best_dist = parts[0]
     for key_a, dist_a in parts[1:]:
         if first_hit:
@@ -177,8 +234,11 @@ def raycast_pallas_batched(
     n_acc: int = 1,
     angle_addition: bool = True,
     fold_lateral: bool = True,
+    defer_sqrt: bool = None,
 ):
     """Batched raycast -> (B, R). B is padded up to a multiple of 128."""
+    if defer_sqrt is None:
+        defer_sqrt = DEFER_SQRT_DEFAULT
     B, K = obs_r.shape
     resolution = sensor_span / sensor_count
 
@@ -228,6 +288,7 @@ def raycast_pallas_batched(
         n_acc=max(1, min(int(n_acc), K)),
         angle_addition=angle_addition,
         fold_lateral=fold_lateral,
+        defer_sqrt=defer_sqrt,
     )
     grid = (Bp // ENV_TILE,)
 
