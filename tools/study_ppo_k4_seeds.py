@@ -31,6 +31,9 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--seed-offset", type=int, default=0,
+                   help="first seed (extend an existing study without "
+                        "re-running its seeds)")
     p.add_argument("--total-steps", type=float, default=100e6)
     p.add_argument("--env", default="usv-simple")
     p.add_argument("--recipe", default="at-scale")
@@ -59,7 +62,7 @@ def main():
         "arrival_rate" if args.best_metric == "arrivals" else "reward_per_step"
     )
     results = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_offset, args.seed_offset + args.seeds):
         logdir = f"{args.outdir}/seed{seed}"
         t0 = time.time()
         run_ppo.main([
