@@ -97,3 +97,50 @@ def test_robust_recipe_defaults_resolve():
     sac_recipe(sac_p)
     assert sac_p.population == 4
     assert sac_p.num_envs == 1024 and sac_p.buffer_size == 100_000
+
+
+def test_population_mode_surfaces_unsupported_flags(tmp_path, capsys):
+    """Population runs have no checkpoint/resume machinery; --resume must
+    refuse (not silently train from scratch) and nonzero checkpoint/video
+    cadences must be announced as ignored (ADVICE r4)."""
+    import pytest
+
+    from usv_tpu.envs import make
+    from usv_tpu.train.population import run_population_loop
+    from usv_tpu.train.ppo import PpoConfig, PpoLearner
+
+    learner = PpoLearner(make("usv-simple"), PpoConfig(
+        n_steps=8, batch_size=16, n_epochs=1, num_envs=4,
+        pi_hidden=(16, 16), vf_hidden=(16, 16), frame_stack=1,
+    ))
+    seeds = [0, 1]
+    ts = learner.init_many(seeds)
+
+    def mk_args(**over):
+        import argparse
+
+        base = dict(
+            resume=False, checkpoint_every_iters=0, video_every_iters=0,
+            logdir=str(tmp_path / "pop"), population=2, cull_at_frac=0.0,
+            cull_keep=None, eval_steps=20, eval_envs=2, best_metric="reward",
+            select_evals=1, recipe="robust", env="usv-simple", seed=0,
+        )
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    with pytest.raises(SystemExit, match="resume"):
+        run_population_loop(
+            learner, seeds, ts, mk_args(resume=True),
+            train_many=lambda t: (t, {}), total_units=1, steps_per_unit=32,
+            eval_every=1, params_of=lambda t: t.params,
+        )
+
+    ts = learner.init_many(seeds)
+    run_population_loop(
+        learner, seeds, ts, mk_args(checkpoint_every_iters=10),
+        train_many=lambda t: learner.train_iteration_many(t)[:1] + ({},),
+        total_units=1, steps_per_unit=32,
+        eval_every=1, params_of=lambda t: t.params,
+    )
+    outerr = capsys.readouterr()
+    assert "ignoring --checkpoint-every-iters" in outerr.out
