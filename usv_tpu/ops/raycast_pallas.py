@@ -43,6 +43,12 @@ ENV_TILE = 128  # envs per program (lane width)
 import os as _os
 
 DEFER_SQRT_DEFAULT = _os.environ.get("USV_RAYCAST_DEFER_SQRT", "1") == "1"
+# Accumulator split (see the n_acc comment in the kernel): re-measured
+# per process via env var since v5 lengthened the loop-carried select
+# chain to 3 selects. Same-session A/B/A/B, v5e, v5 kernel, 4096-env
+# bench protocol: n_acc=1 28.76/28.76 vs n_acc=2 27.87/27.88 M — the
+# split is still 3.1% SLOWER; default stays 1.
+NACC_DEFAULT = int(_os.environ.get("USV_RAYCAST_NACC", "1"))
 
 
 def _batched_kernel(
@@ -231,7 +237,7 @@ def raycast_pallas_batched(
     boundary_distance=None,   # (B, K)
     first_hit: bool = True,
     interpret: bool = False,
-    n_acc: int = 1,
+    n_acc: int = None,
     angle_addition: bool = True,
     fold_lateral: bool = True,
     defer_sqrt: bool = None,
@@ -239,6 +245,8 @@ def raycast_pallas_batched(
     """Batched raycast -> (B, R). B is padded up to a multiple of 128."""
     if defer_sqrt is None:
         defer_sqrt = DEFER_SQRT_DEFAULT
+    if n_acc is None:
+        n_acc = NACC_DEFAULT
     B, K = obs_r.shape
     resolution = sensor_span / sensor_count
 
