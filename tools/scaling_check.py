@@ -25,8 +25,12 @@ import time
 
 
 # Measured single-chip inputs for the prediction model (v5e, round-3/4
-# same-session numbers; override via flags on other hardware). Gradient
-# sizes are exact param counts of the production nets (f32 bytes):
+# same-session numbers; override via flags on other hardware). Round-4
+# re-measurements under kernel v5: SAC 3.31 M (400M-step run), PPO @1024
+# 2.30 M — inside the tunnel's ±25% session drift of these defaults; the
+# efficiency prediction is insensitive to steps/s at this scale (it sets
+# updates/s via the fixed recipe geometry). Gradient sizes are exact
+# param counts of the production nets (f32 bytes):
 # SAC actor 407,902 + twin critic 815,602 params -> 4.89 MB/update;
 # PPO actor-critic 499,459 params -> 2.0 MB/update.
 _PREDICT_DEFAULTS = dict(
