@@ -53,8 +53,13 @@ def main():
     p.add_argument("--artifact",
                    # deliberately NOT a committed docs/artifacts/ name: a
                    # default invocation must never clobber a quoted artifact
-                   default="runs/ppo_seed_study/summary.json")
+                   default=None)
     args = p.parse_args()
+    if args.artifact is None:
+        # offset runs get their own default so an extension never
+        # silently overwrites the base study's summary
+        suffix = f"_offset{args.seed_offset}" if args.seed_offset else ""
+        args.artifact = f"runs/ppo_seed_study/summary{suffix}.json"
 
     from usv_tpu.train import run_ppo
 
@@ -109,6 +114,12 @@ def main():
         best_metric=args.best_metric,
         total_steps=args.total_steps,
         seeds=args.seeds,
+        seed_offset=args.seed_offset,
+        seed_range=f"{args.seed_offset}..{args.seed_offset + args.seeds - 1}",
+        note=("EXTENSION artifact: mean/std/floor cover ONLY this seed "
+              "range — combine per_seed with the base artifact before "
+              "quoting study-level statistics"
+              if args.seed_offset else None),
         per_seed=results,
         score_key=score_key,
         mean=round(mu, 4),

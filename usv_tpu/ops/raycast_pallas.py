@@ -42,13 +42,35 @@ ENV_TILE = 128  # envs per program (lane width)
 # production program with envs untouched).
 import os as _os
 
-DEFER_SQRT_DEFAULT = _os.environ.get("USV_RAYCAST_DEFER_SQRT", "1") == "1"
+
+def _env_bool(name, default):
+    v = _os.environ.get(name, "").strip().lower()
+    if not v:
+        return default
+    if v in ("1", "true", "on", "yes"):
+        return True
+    if v in ("0", "false", "off", "no"):
+        return False
+    raise ValueError(f"{name}={v!r}: expected a boolean (1/0/true/false)")
+
+
+def _env_int(name, default):
+    v = _os.environ.get(name, "").strip()
+    if not v:
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(f"{name}={v!r}: expected an integer") from None
+
+
+DEFER_SQRT_DEFAULT = _env_bool("USV_RAYCAST_DEFER_SQRT", True)
 # Accumulator split (see the n_acc comment in the kernel): re-measured
 # per process via env var since v5 lengthened the loop-carried select
 # chain to 3 selects. Same-session A/B/A/B, v5e, v5 kernel, 4096-env
 # bench protocol: n_acc=1 28.76/28.76 vs n_acc=2 27.87/27.88 M — the
 # split is still 3.1% SLOWER; default stays 1.
-NACC_DEFAULT = int(_os.environ.get("USV_RAYCAST_NACC", "1"))
+NACC_DEFAULT = _env_int("USV_RAYCAST_NACC", 1)
 
 
 def _batched_kernel(
