@@ -171,6 +171,8 @@ def test_tangency_no_flips_above_1cm(d, eps):
     flips, max_err = _tangency_flips(d, eps, fold_lateral=True)
     assert flips == 0, f"d={d} |b-r|={eps}: {flips} flip scenes"
     assert max_err < 2e-2, f"d={d} |b-r|={eps}: dist err {max_err}"
+
+
 @needs_native
 def test_tangency_grazing_flip_rate_bounded():
     """At the millimeter knife edge (|b-r| = 1e-3 m at d = 100 m, where
@@ -179,6 +181,8 @@ def test_tangency_grazing_flip_rate_bounded():
     flips, max_err = _tangency_flips(100.0, 1e-3, n=512, fold_lateral=True)
     assert flips <= 10, f"flip rate {flips}/512 exceeds the 2% bound"
     assert max_err < 5e-2
+
+
 @needs_native
 def test_tangency_unfused_is_flip_free_at_knife_edge():
     """The opt-out (fold_lateral=False, the v2 lateral form) is the escape

@@ -49,6 +49,62 @@ def _nearest_nonwhite(frame, px, py, radius=12):
     return bool(np.any(np.any(tile < 240, axis=-1)))
 
 
+def test_simple_renderer_content():
+    """SimpleEnvRenderer (the flagship env's renderer, reference
+    simple_env_visualizer.py:17-113): boat dot, target marker, sensor
+    rays, obstacle, and path line must land where the state says they are
+    — a blank white 512x512 frame must fail (VERDICT r4 next-#5)."""
+    import jax.numpy as jnp
+
+    handle = make("usv-simple")
+    cfg = handle.cfg
+    state = handle.reset(cfg, jax.random.key(5))
+
+    cap = state.obs_r.shape[0]
+    obs_xy = np.zeros((cap, 2), np.float32)
+    obs_r = np.ones((cap,), np.float32)
+    mask = np.zeros((cap,), bool)
+    obs_xy[0] = (14.0, 6.0)
+    obs_r[0] = 1.5
+    mask[0] = True
+    state = state.replace(
+        position=jnp.asarray([5.0, 8.0, 0.3]),
+        target_position=jnp.asarray([16.0, 14.0]),
+        path_start=jnp.asarray([2.0, 2.0]),
+        path_end=jnp.asarray([18.0, 18.0]),
+        obs_xy=jnp.asarray(obs_xy), obs_r=jnp.asarray(obs_r),
+        obs_mask=jnp.asarray(mask),
+        sensor_dist=jnp.full((cfg.sensor_count,), 4.0, jnp.float32),
+    )
+
+    rend = viz.SimpleEnvRenderer(render_mode="rgb_array", window_size=400)
+    frame = rend.render_state(cfg, state)
+    rend.close()
+
+    c = _counts(frame)
+    assert c["non_white"] > 300, f"frame nearly blank: {c}"
+    assert c["black"] > 10, f"no boat pixels: {c}"
+    assert c["red"] > 30, f"no obstacle pixels: {c}"
+    assert c["green"] > 100, f"no sensor-ray pixels: {c}"
+    assert c["blue"] > 20, f"no target pixels: {c}"
+    # the gray path polyline: mid-intensity, chromatically neutral pixels
+    fr = np.asarray(frame).astype(int)
+    gray = np.sum(
+        (np.abs(fr[..., 0] - fr[..., 1]) < 12)
+        & (np.abs(fr[..., 1] - fr[..., 2]) < 12)
+        & (fr[..., 0] > 80) & (fr[..., 0] < 200)
+    )
+    assert gray > 50, f"no path-line pixels (gray={gray})"
+
+    # positional checks: world -> screen as the renderer maps them
+    # (scale = window / env_bound, no offset)
+    scale = 400 / cfg.env_bound
+    for wx, wy in ((5.0, 8.0), (14.0, 6.0), (16.0, 14.0)):
+        assert _nearest_nonwhite(frame, wx * scale, wy * scale), (
+            f"nothing drawn near ({wx},{wy})"
+        )
+
+
 def test_ca_renderer_content_direct():
     """CaEnvRenderer drawn directly (not via the adapter): boat, obstacles,
     rays, and target must land where the state says they are."""

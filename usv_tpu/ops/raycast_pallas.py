@@ -64,13 +64,21 @@ def _env_int(name, default):
         raise ValueError(f"{name}={v!r}: expected an integer") from None
 
 
-DEFER_SQRT_DEFAULT = _env_bool("USV_RAYCAST_DEFER_SQRT", True)
+# USV_RAYCAST_DEFER_SQRT / USV_RAYCAST_NACC are parsed lazily at the
+# first call that leaves the kwarg as None (ADVICE r4 #3): a malformed
+# value then errors at the call site instead of breaking every
+# `import usv_tpu`, and setting the var after import still takes effect.
+def _defer_sqrt_default():
+    return _env_bool("USV_RAYCAST_DEFER_SQRT", True)
+
+
 # Accumulator split (see the n_acc comment in the kernel): re-measured
 # per process via env var since v5 lengthened the loop-carried select
 # chain to 3 selects. Same-session A/B/A/B, v5e, v5 kernel, 4096-env
 # bench protocol: n_acc=1 28.76/28.76 vs n_acc=2 27.87/27.88 M — the
 # split is still 3.1% SLOWER; default stays 1.
-NACC_DEFAULT = _env_int("USV_RAYCAST_NACC", 1)
+def _nacc_default():
+    return _env_int("USV_RAYCAST_NACC", 1)
 
 
 def _batched_kernel(
@@ -230,8 +238,14 @@ def _batched_kernel(
             best_xk = jnp.where(take, xk_a, best_xk)
             best_delta = jnp.where(take, delta_a, best_delta)
         # the deferred sqrt: never-updated slots have best_delta = +inf, so
-        # dist = -inf there; the isfinite(best_key) select masks them anyway
-        best_dist = best_xk - jnp.sqrt(best_delta)
+        # dist = -inf there; the isfinite(best_key) select masks them anyway.
+        # Clamp to max_range: the squared-space acceptance (delta >= t*t)
+        # admits boundary hits whose f32-rounded distance lands a ~1-ulp
+        # band ABOVE max_range (not just the exact-equality tie), where the
+        # in-loop form's `dist < max_range` guaranteed strictly-below
+        # outputs — downstream normalization by max_range must never see
+        # values > 1.0 (ADVICE r4 #1).
+        best_dist = jnp.minimum(best_xk - jnp.sqrt(best_delta), max_range)
         out_ref[:, :] = jnp.where(jnp.isfinite(best_key), best_dist, max_range)
         return
     best_key, best_dist = parts[0]
@@ -266,9 +280,9 @@ def raycast_pallas_batched(
 ):
     """Batched raycast -> (B, R). B is padded up to a multiple of 128."""
     if defer_sqrt is None:
-        defer_sqrt = DEFER_SQRT_DEFAULT
+        defer_sqrt = _defer_sqrt_default()
     if n_acc is None:
-        n_acc = NACC_DEFAULT
+        n_acc = _nacc_default()
     B, K = obs_r.shape
     resolution = sensor_span / sensor_count
 

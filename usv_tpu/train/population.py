@@ -43,11 +43,17 @@ def run_population_loop(learner, seeds, ts, args, *, train_many,
             "--resume is not supported with --population/--recipe robust: "
             "population runs keep no on-disk checkpoint to resume from"
         )
+    # Warn only for values the user actually set: some of these flags have
+    # non-zero parser defaults (run_ppo's --watch-every-iters is 20), and a
+    # default-valued flag the user never touched is not an opt-in worth a
+    # permanent warning on every robust run (ADVICE r4 #2). The CLIs stash
+    # their parser defaults on args as _parser_defaults.
+    defaults = getattr(args, "_parser_defaults", {})
     dropped = [
         f for f in ("checkpoint_every_iters", "checkpoint_every_blocks",
                     "video_every_iters", "video_every_blocks",
                     "watch_every_iters")
-        if getattr(args, f, 0)
+        if getattr(args, f, 0) and getattr(args, f, 0) != defaults.get(f, 0)
     ]
     if dropped:
         print(

@@ -203,6 +203,9 @@ def run_population(args):
 def main(argv=None):
     p = build_parser()
     args = apply_recipe(p.parse_args(argv), p)
+    # population.py warns about flags it must ignore only when they differ
+    # from these parser defaults (i.e. the user actually set them)
+    args._parser_defaults = {f: p.get_default(f) for f in vars(args)}
     if args.population > 1:
         return run_population(args)
 

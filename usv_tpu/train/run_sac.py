@@ -204,6 +204,9 @@ def main(argv=None):
                    help="fresh-key re-evals per candidate in the final "
                         "winner selection (population runs)")
     args = apply_recipe(p.parse_args(argv))
+    # population.py warns about flags it must ignore only when they differ
+    # from these parser defaults (i.e. the user actually set them)
+    args._parser_defaults = {f: p.get_default(f) for f in vars(args)}
     if args.population > 1:
         if args.shard or args.shard_local_replay:
             p.error("--population is incompatible with --shard (a population "
