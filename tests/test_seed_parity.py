@@ -105,6 +105,61 @@ def test_simple_full_episode_parity_from_seed(seed):
     ours.close()
 
 
+def test_simple_stale_reset_carryover_quirk():
+    """Reference quirk found by tools/fuzz_parity.py (round 5): the simple
+    env's reset re-samples the scene but never clears ``last_action`` or
+    ``sensor_data`` (simple_env.py:228-308), so on a REUSED instance every
+    episode after the first starts with the previous episode's final
+    sensor readings in the reset obs and a stale EMA seed for the first
+    step's action filter (:317). Our default reset is stateless (fresh-env
+    semantics); ``stale_reset_carryover=True`` replicates the reuse
+    behavior exactly."""
+    from usv_tpu.compat import UsvSimpleEnv
+
+    ref, _ = _reference_simple(5)
+    actions = _action_sequence(40)
+
+    def run_first_episode(env):
+        env.reset(seed=5)
+        for a in actions:
+            out = env.step(a)
+            assert not (out[2] or out[3])
+
+    run_first_episode(ref)
+    ref_obs1, _ = ref.reset(seed=7)
+
+    # default adapter: stateless reset == a FRESH reference env, which
+    # therefore must NOT match the reused reference's stale reset obs
+    ours = UsvSimpleEnv(render_mode=None, reference_reset_sampling=True)
+    run_first_episode(ours)
+    obs1_default, _ = ours.reset(seed=7)
+    assert np.max(np.abs(obs1_default - ref_obs1)) > 0.05, (
+        "reused reference reset unexpectedly matched a stateless reset — "
+        "did the reference start clearing sensor_data?"
+    )
+    ours.close()
+
+    # quirk mode: carryover reproduces the reused reference, reset obs AND
+    # the following steps (the stale EMA seed feeds the first actions)
+    ours = UsvSimpleEnv(
+        render_mode=None, reference_reset_sampling=True,
+        stale_reset_carryover=True,
+    )
+    run_first_episode(ours)
+    obs1, _ = ours.reset(seed=7)
+    np.testing.assert_allclose(obs1, ref_obs1, atol=1e-4)
+    follow = _action_sequence(30)
+    for i, a in enumerate(follow):
+        ref_obs, ref_rew, ref_term, ref_trunc, _ = ref.step(a)
+        obs, rew, term, trunc, _ = ours.step(a)
+        np.testing.assert_allclose(obs, ref_obs, atol=1e-4, err_msg=f"step {i}")
+        assert abs(rew - float(ref_rew)) < 1e-4, f"step {i}"
+        assert term == bool(ref_term) and trunc == bool(ref_trunc), f"step {i}"
+        if term or trunc:
+            break
+    ours.close()
+
+
 # seed choice: 7 and 11 produce a tangentially grazed obstacle ray around
 # step 40 where f32-vs-f64 legitimately flips hit/miss (one sensor slot jumps
 # to max range) — an inherent knife-edge, not an implementation divergence;

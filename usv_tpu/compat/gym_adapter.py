@@ -49,6 +49,7 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
 
     def __init__(self, render_mode: Optional[str] = "rgb_array", options: Optional[dict] = None,
                  reference_reset_sampling: bool = False,
+                 stale_reset_carryover: bool = False,
                  **config_overrides):
         self.options = options or {}
         self.render_mode = render_mode
@@ -57,6 +58,14 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
         # episode matches the reference env bit-for-stream
         # (usv_tpu/compat/seed_replay.py; simple family + legacy trio)
         self.reference_reset_sampling = reference_reset_sampling
+        # Reference quirk (found by tools/fuzz_parity.py): the simple
+        # family's reset never clears last_action/sensor_data
+        # (simple_env.py:228-308 re-samples the scene but not those), so
+        # every episode after the first starts with the PREVIOUS episode's
+        # final sensor readings in the reset obs and a stale EMA seed for
+        # the first step's action filter (:317). Our default is a stateless
+        # fresh reset; opt in here to replicate the reuse behavior.
+        self.stale_reset_carryover = stale_reset_carryover
         self._config_overrides = dict(config_overrides)
         self._build(self._config_overrides)
         self._seed_counter = 0
@@ -144,7 +153,24 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
 
     # -- gym API --------------------------------------------------------
 
+    @staticmethod
+    def _carry_stale_fields(new_state, old_state):
+        """Copy the reference's non-reset fields (last_action, sensor_dist)
+        from the previous episode's final state into a fresh reset state —
+        the ``stale_reset_carryover`` quirk path."""
+        nb = getattr(new_state, "base", None)
+        if nb is not None:
+            ob = getattr(old_state, "base", old_state)
+            return new_state.replace(base=nb.replace(
+                last_action=ob.last_action, sensor_dist=ob.sensor_dist))
+        if hasattr(new_state, "last_action") and hasattr(new_state, "sensor_dist"):
+            return new_state.replace(
+                last_action=old_state.last_action,
+                sensor_dist=old_state.sensor_dist)
+        return new_state
+
     def reset(self, seed=None, options=None):
+        prev_state = self._state
         if _HAS_GYMNASIUM:
             # seed gymnasium's np_random (API contract; our randomization
             # itself runs on-device from the jax key below)
@@ -172,6 +198,8 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
         self._state = self._apply_reset_options(
             self._state, {k: v for k, v in merged.items() if k not in consumed}
         )
+        if self.stale_reset_carryover and prev_state is not None:
+            self._state = self._carry_stale_fields(self._state, prev_state)
         obs = np.asarray(self._jit_reset_obs(self._state))
         if self.legacy_api:
             return obs
