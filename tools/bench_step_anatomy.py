@@ -36,6 +36,9 @@ def main():
     p.add_argument("--steps", type=int, default=2048)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--ignore-obstacles", action="store_true")
+    p.add_argument("--cost-analysis", action="store_true",
+                   help="also print XLA cost_analysis (flops/bytes) of the "
+                        "one-step programs for the roofline table")
     args = p.parse_args()
 
     import jax
@@ -101,6 +104,128 @@ def main():
         state_body(lambda s, a: vstep(s, a)), init_states
     )
     progs["autoreset"] = scan_prog(state_body(vauto), init_states)
+
+    # --- round-5 decomposition of the autoreset increment (VERDICT r4 #2):
+    # autoreset - raw = fresh-reset recompute + pytree select + obs select.
+    # `select_only` replaces the fresh reset with a CONSTANT pre-reset state
+    # (key threading kept) so the increment over `raw` prices the selects
+    # and key split alone; `reset_share` = autoreset - select_only is then
+    # the per-step reset-math recompute as paid in situ (fused into the
+    # production program — reset_only prices it as a standalone program).
+    from usv_tpu.envs.autoreset import _get_key, _select, _set_key
+    from usv_tpu.envs.types import TimeStep as _TS
+
+    def make_const_autoreset(template_state):
+        def auto_step(state, action):
+            new_state, ts = handle.step(cfg, state, action)
+            done = ts.done
+            next_key, reset_key = jax.random.split(_get_key(new_state))
+            fresh = _set_key(template_state, next_key)
+            out_state = _select(done, fresh, _set_key(new_state, next_key))
+            obs = jnp.where(done, handle.reset_obs(cfg, fresh), ts.obs)
+            return out_state, _TS(
+                obs=obs, reward=ts.reward, terminated=ts.terminated,
+                truncated=ts.truncated, info=dict(ts.info),
+            )
+        return auto_step
+
+    def select_only_prog():
+        # one concrete reset state as the shared constant template
+        template = jax.tree.map(
+            lambda x: x[0], vreset(jax.random.split(jax.random.key(42), B))
+        )
+        vconst = jax.vmap(make_const_autoreset(template))
+        return scan_prog(state_body(vconst), init_states)
+
+    progs["select_only"] = select_only_prog()
+
+    # --- round-5 attack candidate: ONE threefry sweep per reset. The
+    # production reset makes 13 key splits + ~14 separate draws (~88
+    # threefry blocks/env + op-chain overhead); this variant draws a single
+    # (128,) uniform block (64 blocks + 1 split) and derives every quantity
+    # from slices — identical distributions (Box-Muller normals, floored
+    # randint, affine uniforms), different stream. Only the usv-simple
+    # family with path_obstacles == 0 is prototyped here; promoted to the
+    # real reset only if the same-session A/B wins.
+    if args.env == "usv-simple" and not getattr(cfg, "path_obstacles", 0):
+        import numpy as np
+
+        def fused_reset(key):
+            key, state_key = jax.random.split(key)
+            u = jax.random.uniform(key, (112,), dtype=jnp.float32)
+            two_pi = 2.0 * np.pi
+            half = cfg.env_bound / 2.0
+            # Box-Muller pair for path_start (exact normal)
+            r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-38)))
+            n0 = r * jnp.cos(two_pi * u[1])
+            n1 = r * jnp.sin(two_pi * u[1])
+            path_start = jnp.stack([n0, n1]) * 0.5 + half
+            heading = u[2] * two_pi - np.pi
+            position = jnp.concatenate([path_start, heading[None]])
+            angle = u[3] * two_pi - np.pi
+            dist = 100.0 + 10.0 * u[4]
+            path_end = path_start + jnp.stack(
+                [jnp.cos(angle), jnp.sin(angle)]) * dist
+            target_position = u[5:7] * cfg.env_bound
+            velocity = u[7:10] * 0.15
+            max_action = jnp.stack(
+                [1.5 + 1.5 * u[10], jnp.zeros(()), 3.0 + 3.0 * u[11]])
+            reference_velocity = 0.75 + u[12] * (max_action[0] - 0.75)
+            max_acceleration = jnp.asarray([1.75, 0.0, 3.0], jnp.float32)
+            K = cfg.obstacle_cap
+            obstacle_n = 15 + jnp.floor(u[13] * 15.0).astype(jnp.int32)
+            obs_xy = u[14:14 + 2 * K].reshape(K, 2) * cfg.env_bound
+            obs_r = 0.15 + 0.35 * u[14 + 2 * K:14 + 3 * K]
+            slot = jnp.arange(K)
+            obs_mask = slot < obstacle_n
+            d_pos = jnp.hypot(obs_xy[:, 0] - position[0],
+                              obs_xy[:, 1] - position[1])
+            d_tgt = jnp.hypot(obs_xy[:, 0] - target_position[0],
+                              obs_xy[:, 1] - target_position[1])
+            keep = obs_mask & ~((d_pos < 0.5) | (d_tgt < 0.5))
+            no_random = ~jnp.any(keep)
+            fallback_xy = u[110:112] * cfg.env_bound
+            obs_xy = jnp.where((no_random & (slot == 0))[:, None],
+                               fallback_xy[None, :], obs_xy)
+            keep = keep | (no_random & (slot == 0))
+            from usv_tpu.envs.simple import SimpleEnvState
+
+            return SimpleEnvState(
+                key=state_key,
+                position=position.astype(jnp.float32),
+                velocity=velocity.astype(jnp.float32),
+                last_action=jnp.zeros(3, jnp.float32),
+                path_start=path_start.astype(jnp.float32),
+                path_end=path_end.astype(jnp.float32),
+                progress=jnp.zeros((), jnp.float32),
+                target_position=target_position.astype(jnp.float32),
+                max_action=max_action.astype(jnp.float32),
+                max_acceleration=max_acceleration,
+                reference_velocity=reference_velocity.astype(jnp.float32),
+                obs_xy=obs_xy.astype(jnp.float32),
+                obs_r=obs_r.astype(jnp.float32),
+                obs_mask=keep,
+                sensor_dist=jnp.zeros(cfg.sensor_count, jnp.float32),
+                step_count=jnp.zeros((), jnp.int32),
+            )
+
+        vreset_fused = jax.vmap(fused_reset)
+        vauto_fused = jax.vmap(make_autoreset_step(
+            cfg, handle.step, lambda c, k: fused_reset(k), handle.reset_obs
+        ))
+        progs["autoreset_fused_draws"] = scan_prog(
+            state_body(vauto_fused), init_states
+        )
+
+        def fused_reset_body(carry, _):
+            key, acc = carry
+            key, kr = jax.random.split(key)
+            st = vreset_fused(jax.random.split(kr, B))
+            return (key, acc + jnp.sum(st.position[..., :1])), None
+
+        progs["fused_reset_only"] = scan_prog(
+            fused_reset_body, lambda k: (k, jnp.zeros(()))
+        )
     progs["rbg"] = scan_prog(
         state_body(vauto), lambda key: init_states(key, impl="rbg")
     )
@@ -174,6 +299,30 @@ def main():
             "ms_per_batched_step": round(1e3 * dt / T, 4),
             "steps_per_second": round(B * T / dt, 1),
         }), flush=True)
+
+    if args.cost_analysis:
+        # XLA's own accounting of the compiled one-step programs: flops,
+        # transcendentals, bytes accessed — the inputs to the roofline
+        # table in docs/PERFORMANCE.md (measured time vs these vs chip
+        # peaks). One-step jits (not the scan) so the numbers are per step.
+        def one_step_cost(fn, with_state=True):
+            st = init_states(jax.random.key(0))
+            c = jax.jit(fn).lower(st, zeros).compile().cost_analysis()
+            return {k: c.get(k) for k in
+                    ("flops", "transcendentals", "bytes accessed")}
+
+        for name, fn in (
+            ("raw_step", lambda s, a: vstep(s, a)),
+            ("autoreset_step", vauto),
+        ):
+            print(json.dumps({"cost_analysis": name, **one_step_cost(fn)}),
+                  flush=True)
+        st = init_states(jax.random.key(0))
+        keys = jax.random.split(jax.random.key(1), B)
+        c = jax.jit(lambda k: vreset(k)).lower(keys).compile().cost_analysis()
+        print(json.dumps({"cost_analysis": "reset_only", **{
+            k: c.get(k) for k in
+            ("flops", "transcendentals", "bytes accessed")}}), flush=True)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,19 @@ N_SENSORS = {
     "usv-asmc-ca-v0": 16,
     "usv-asmc-v0": 0, "usv-pid-v0": 0, "usv-asmc-ye-int-v0": 0,
 }
+# obs indices holding an angle normalized by pi to [-1, 1]: at the +-pi
+# wrap boundary an f32-vs-f64 ulp legitimately flips the sign (raw err
+# ~2.0); compare circularly (err = min(e, 2 - e)) and count raw-err > 0.5
+# there as a wrap flip (transient, like a sensor graze — the step's
+# reward is excluded from the drift stat, CA's reward has a -|angle|/pi
+# term fed by it). simple family: idx 3 = angle-to-target/pi
+# (simple_env.py:72-80); CA: idx 4 = tracking-error angle
+# (usv_asmc_ca_env.py:283-288).
+CIRCULAR_IDX = {
+    "usv-simple": (3,), "usv-asmc-simple": (3,), "usv-aitsmc-simple": (3,),
+    "usv-asmc-ca-v0": (4,),
+    "usv-asmc-v0": (), "usv-pid-v0": (), "usv-asmc-ye-int-v0": (),
+}
 
 
 def _sample_actions(rng, n_steps, dim, low, high, style):
@@ -88,6 +101,7 @@ class _Family:
         from usv_tpu.compat import gym_adapter
 
         eid = self.env_id
+        self.circular_idx = CIRCULAR_IDX[eid]
         # a FRESH reference env per seed: the reference's reset does not
         # clear last_action/sensor_data (a quirk this harness found — see
         # test_compat.py::test_simple_stale_reset_carryover_quirk), so a
@@ -190,8 +204,8 @@ class _Family:
             seed=seed,
             reset_obs_err=float(np.max(np.abs(ref_obs0 - our_obs0))),
             max_obs_err=0.0, max_sensor_err=0.0, max_rew_err=0.0,
-            flip_steps=0, steps=0, end="horizon", flag_mismatch=None,
-            flip_flag_mismatch=None,
+            flip_steps=0, wrap_steps=0, steps=0, end="horizon",
+            flag_mismatch=None, flip_flag_mismatch=None,
         )
         ns = self.n_sensors
         style = "white" if seed % 2 == 0 else "ou"
@@ -211,22 +225,30 @@ class _Family:
                     a.astype(np.float32))
             rec["steps"] = i + 1
             err = np.abs(np.asarray(ro, np.float64) - np.asarray(oo, np.float64))
+            wrap_flip = False
+            for j in self.circular_idx:
+                if err[j] > 0.5:
+                    wrap_flip = True
+                err[j] = min(err[j], 2.0 - err[j])
             sens = err[len(err) - ns:] if ns else np.zeros(0)
             core = err[:len(err) - ns] if ns else err
             flipped = sens > FLIP_THRESHOLD
             n_flip = int(np.sum(flipped))
             rec["flip_steps"] += 1 if n_flip else 0
+            rec["wrap_steps"] += 1 if wrap_flip else 0
             rec["max_obs_err"] = max(rec["max_obs_err"], float(np.max(core)))
             if ns and not n_flip:
                 rec["max_sensor_err"] = max(
                     rec["max_sensor_err"], float(np.max(sens)))
-            if not n_flip:
-                # reward depends on min(sensors): only drift-compare it on
-                # flip-free steps (a flip shifts it discretely)
+            if not n_flip and not wrap_flip:
+                # reward depends on min(sensors) and the wrapped angle:
+                # only drift-compare it on flip-free steps (a flip shifts
+                # it discretely)
                 rec["max_rew_err"] = max(
                     rec["max_rew_err"], abs(float(rr) - float(orew)))
             if (bool(rterm), bool(rtrunc)) != (bool(oterm), bool(otrunc)):
-                key = "flip_flag_mismatch" if n_flip else "flag_mismatch"
+                key = ("flip_flag_mismatch" if (n_flip or wrap_flip)
+                       else "flag_mismatch")
                 rec[key] = dict(
                     step=i, ref=[bool(rterm), bool(rtrunc)],
                     ours=[bool(oterm), bool(otrunc)],
@@ -264,6 +286,7 @@ def run_family(env_id, seeds, base_seed=0):
             np.max([e["reset_obs_err"] for e in episodes])),
         flip_episodes=int(sum(1 for e in episodes if e["flip_steps"])),
         flip_steps=int(sum(e["flip_steps"] for e in episodes)),
+        wrap_steps=int(sum(e["wrap_steps"] for e in episodes)),
         flag_mismatches=[
             dict(seed=e["seed"], **e["flag_mismatch"]) for e in episodes
             if e["flag_mismatch"]],

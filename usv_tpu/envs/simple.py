@@ -250,59 +250,77 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     """Domain-randomized reset — reference ``reset`` :228-308, on-device.
 
     Distributions match the reference; draws use independent jax.random
-    folds rather than a serial NumPy stream.
+    bits rather than a serial NumPy stream. Round 5: every draw comes from
+    ONE threefry sweep — a single ``uniform(key, (N,))`` block sliced into
+    the individual quantities (Box-Muller for the normals, a floored
+    uniform for the obstacle-count randint, affine maps for the rest).
+    The rounds-1-4 form made 13 key splits + ~14 separate draw calls
+    (~88 threefry blocks/env); under the branch-free autoreset this reset
+    runs EVERY step for EVERY env, and the fused sweep cut the measured
+    autoreset increment from 37 to 18 µs at the 4096-env bench protocol
+    (+14% on the headline — docs/PERFORMANCE.md roofline section).
+    Distributions are unchanged; the raw stream differs from rounds 1-4
+    (nothing pins it: parity vs the reference uses host-side seed replay,
+    and the golden tests override every sampled field).
     """
-    keys = jax.random.split(key, 13)  # keys[12] stays unconsumed (state key)
     half = cfg.env_bound / 2.0
+    two_pi = 2.0 * np.pi
+    K = cfg.obstacle_cap
+    P = cfg.path_obstacles
+    n_random = K - P
 
-    path_start = jax.random.normal(keys[0], (2,)) * 0.5 + half
-    heading = jax.random.uniform(keys[1], minval=-np.pi, maxval=np.pi)
+    key, state_key = jax.random.split(key)
+    # layout: [0:14] scalars, [14:14+2K] obs_xy, [14+2K:14+3K] obs_r,
+    # [14+3K:16+3K] fallback position, then P magnitudes + 2P jitter
+    # uniforms for the path obstacles (when enabled)
+    n_draw = 16 + 3 * K + 3 * P
+    u = jax.random.uniform(key, (n_draw,), dtype=jnp.float32)
+
+    def box_muller(u1, u2):
+        # exact standard normals from a uniform pair; u1 in [0, 1) guarded
+        # away from log(0)
+        r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-38)))
+        return r * jnp.cos(two_pi * u2), r * jnp.sin(two_pi * u2)
+
+    n0, n1 = box_muller(u[0], u[1])
+    path_start = jnp.stack([n0, n1]) * 0.5 + half
+    heading = u[2] * two_pi - np.pi
     position = jnp.concatenate([path_start, heading[None]])
 
-    angle = jax.random.uniform(keys[2], minval=-np.pi, maxval=np.pi)
-    dist = jax.random.uniform(keys[3], minval=100.0, maxval=110.0)
+    angle = u[3] * two_pi - np.pi
+    dist = 100.0 + 10.0 * u[4]
     path_end = path_start + jnp.stack([jnp.cos(angle), jnp.sin(angle)]) * dist
 
-    target_position = jax.random.uniform(
-        keys[4], (2,), minval=0.0, maxval=cfg.env_bound
-    )
-    velocity = jax.random.uniform(keys[5], (3,), minval=0.0, maxval=0.15)
+    target_position = u[5:7] * cfg.env_bound
+    velocity = u[7:10] * 0.15
 
-    max_action = jax.random.uniform(keys[6], (3,), minval=1.5, maxval=3.0)
-    max_action = max_action.at[2].set(
-        jax.random.uniform(keys[7], minval=3.0, maxval=6.0)
+    max_action = jnp.stack(
+        [1.5 + 1.5 * u[10], jnp.zeros(()), 3.0 + 3.0 * u[11]]
     )
-    max_action = max_action.at[1].set(0.0)
-    reference_velocity = jax.random.uniform(
-        keys[8], minval=0.75, maxval=max_action[0]
-    )
+    reference_velocity = 0.75 + u[12] * (max_action[0] - 0.75)
     max_acceleration = jnp.asarray([1.75, 0.0, 3.0], dtype=jnp.float32)
 
-    K = cfg.obstacle_cap
-    n_random = K - cfg.path_obstacles
-    obstacle_n = jax.random.randint(keys[9], (), 15, 30)
-    obs_xy = jax.random.uniform(keys[10], (K, 2), minval=0.0, maxval=cfg.env_bound)
+    # randint(15, 30): floor of uniform over 15 values (u < 1 so <= 29)
+    obstacle_n = 15 + jnp.floor(u[13] * 15.0).astype(jnp.int32)
+    obs_xy = u[14:14 + 2 * K].reshape(K, 2) * cfg.env_bound
+    obs_r = 0.15 + 0.35 * u[14 + 2 * K:14 + 3 * K]
+    fallback_xy = u[14 + 3 * K:16 + 3 * K] * cfg.env_bound
     slot = jnp.arange(K)
     obs_mask = slot < jnp.minimum(obstacle_n, n_random)
 
-    if cfg.path_obstacles > 0:
+    if P > 0:
         # reset option 'place_obstacles_on_path' (reference :276-288):
-        # normally-jittered points along the path direction.
-        kp = jax.random.split(keys[11], 3)
-        # bound is np.hypot(*env_bounds) = hypot(0, env_bound) = env_bound
+        # normally-jittered points along the path direction. bound is
+        # np.hypot(*env_bounds) = hypot(0, env_bound) = env_bound
         # (reference simple_env.py:281 with env_bounds=(0, 20))
-        mag = jax.random.uniform(
-            kp[0], (cfg.path_obstacles,), minval=0.0, maxval=cfg.env_bound,
-        )
+        base = 16 + 3 * K
+        mag = u[base:base + P] * cfg.env_bound
+        j0, j1 = box_muller(u[base + P:base + 2 * P],
+                            u[base + 2 * P:base + 3 * P])
         line = path_start + jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1) * mag[:, None]
-        path_obs = line + jax.random.normal(kp[1], (cfg.path_obstacles, 2))
+        path_obs = line + jnp.stack([j0, j1], axis=-1)
         obs_xy = obs_xy.at[n_random:].set(path_obs)
         obs_mask = obs_mask | (slot >= n_random)
-        radius_key = kp[2]
-    else:
-        radius_key = keys[11]
-
-    obs_r = jax.random.uniform(radius_key, (K,), minval=0.15, maxval=0.5)
 
     # Invalidate obstacles within 0.5 m of the start or the (sampled) target
     # (reference :260-268). The path obstacles are exempt in the reference
@@ -318,17 +336,13 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     # and draws a fresh uniform position — re-enable slot 0 likewise, at a
     # fresh position rather than its pruned one)
     no_random = ~jnp.any(keep & (slot < n_random))
-    fallback_xy = jax.random.uniform(
-        jax.random.fold_in(keys[10], 7), (2,),
-        minval=0.0, maxval=cfg.env_bound,
-    )
     obs_xy = jnp.where(
         (no_random & (slot == 0))[:, None], fallback_xy[None, :], obs_xy
     )
     keep = keep | (no_random & (slot == 0))
 
     return SimpleEnvState(
-        key=keys[12],
+        key=state_key,
         position=position.astype(jnp.float32),
         velocity=velocity.astype(jnp.float32),
         last_action=jnp.zeros(3, dtype=jnp.float32),
