@@ -624,15 +624,18 @@ def test_shard_local_shuffle_traffic():
     the GLOBAL shuffle the update phase's collective traffic carries rollout
     rows (grows with n_steps); with shuffle_groups == mesh size the row
     gather is shard-local and collective bytes are rollout-size independent
-    (gradient reductions + per-minibatch scalar reductions only)."""
+    (gradient reductions + per-minibatch scalar reductions only); and the
+    round-5 rotation mitigation (shuffle_group_rotate — the between-
+    iteration env-STATE permutation) keeps that rollout-size independence,
+    adding only the state-bytes all-to-all."""
     mesh = make_env_mesh()
     n = mesh.devices.size
 
-    def lowered_bytes(groups, n_steps):
+    def lowered_bytes(groups, n_steps, rotate=False):
         cfg = PpoConfig(
             n_steps=n_steps, batch_size=64, n_epochs=1, num_envs=16,
             pi_hidden=(32, 32), vf_hidden=(32, 32), frame_stack=2,
-            shuffle_groups=groups,
+            shuffle_groups=groups, shuffle_group_rotate=rotate,
         )
         learner = PpoLearner(make("usv-simple"), cfg)
         ts = shard_ppo_train_state(learner.init(seed=0), mesh)
@@ -641,6 +644,8 @@ def test_shard_local_shuffle_traffic():
 
     g64, g256 = lowered_bytes(0, 64), lowered_bytes(0, 256)
     l64, l256 = lowered_bytes(n, 64), lowered_bytes(n, 256)
+    r64, r256 = lowered_bytes(n, 64, rotate=True), lowered_bytes(
+        n, 256, rotate=True)
 
     # positive control: the global shuffle's cross-shard row traffic scales
     # with the rollout
@@ -651,3 +656,71 @@ def test_shard_local_shuffle_traffic():
     assert l64 > 0
     assert l256 - l64 < 0.02 * (g256 - g64), (l64, l256, g64, g256)
     assert l256 < g256 / 4, (l256, g256)
+    # rotation: still rollout-size independent (the permuted carrier is the
+    # env STATE, one step's worth of bytes), and far below the global form
+    assert r256 - r64 < 0.02 * (g256 - g64), (r64, r256, g64, g256)
+    assert r256 < g256 / 4, (r256, g256)
+
+
+def test_rotate_groups_membership_and_placement():
+    """shuffle_group_rotate: (a) consecutive iterations see permuted env
+    states (group membership rotates) while each iteration's minibatches
+    stay stratified; (b) the rotated program is placement-independent
+    (sharded == unsharded within the production FP-drift gates)."""
+    cfg = PpoConfig(
+        n_steps=16, batch_size=64, n_epochs=2, num_envs=32,
+        pi_hidden=(32, 32), vf_hidden=(32, 32), frame_stack=2,
+        shuffle_groups=8, shuffle_group_rotate=True,
+    )
+    import dataclasses
+
+    learner = PpoLearner(make("usv-simple"), cfg)
+    learner_norot = PpoLearner(
+        make("usv-simple"),
+        dataclasses.replace(cfg, shuffle_group_rotate=False),
+    )
+    # one iteration from the same seed: the rotated variant's env states
+    # must be exactly a row PERMUTATION of the unrotated ones (the
+    # rotation is applied after an otherwise identical iteration), and a
+    # non-identity one
+    ts_rot, _ = learner.train_iteration(learner.init(seed=0))
+    ts_base, _ = learner_norot.train_iteration(learner_norot.init(seed=0))
+
+    def env_signature(state):
+        leaves = [
+            np.asarray(x).reshape(cfg.num_envs, -1).astype(np.float64)
+            for x in jax.tree.leaves(state)
+            if hasattr(x, "dtype") and x.dtype != jax.dtypes.float0
+            and not jax.dtypes.issubdtype(x.dtype, jax.dtypes.extended)
+        ]
+        return np.concatenate(leaves, axis=1)
+
+    sig_rot = env_signature(ts_rot.env_state)
+    sig_base = env_signature(ts_base.env_state)
+    order_rot = np.lexsort(sig_rot.T[::-1])
+    order_base = np.lexsort(sig_base.T[::-1])
+    np.testing.assert_array_equal(
+        sig_rot[order_rot], sig_base[order_base],
+    )
+    assert not np.array_equal(sig_rot, sig_base), "rotation was identity"
+    # the frame stack rode along with its env rows
+    fr_rot = np.asarray(ts_rot.frames).reshape(cfg.num_envs, -1)
+    fr_base = np.asarray(ts_base.frames).reshape(cfg.num_envs, -1)
+    np.testing.assert_allclose(
+        np.sort(fr_rot.sum(axis=1)), np.sort(fr_base.sum(axis=1)),
+        rtol=1e-6,
+    )
+
+    # placement independence, rotated
+    ts_plain, r_plain = learner.train_iteration(learner.init(seed=3))
+    mesh = make_env_mesh()
+    ts_shard = shard_ppo_train_state(learner.init(seed=3), mesh)
+    ts_shard, r_shard = learner.train_iteration(ts_shard)
+    np.testing.assert_allclose(float(r_plain), float(r_shard),
+                               rtol=1e-4, atol=1e-5)
+    diffs = np.concatenate([
+        np.abs(np.asarray(la) - np.asarray(lb)).ravel()
+        for la, lb in zip(jax.tree.leaves(ts_plain.params),
+                          jax.tree.leaves(ts_shard.params))
+    ])
+    assert diffs.max() < 5e-3, f"max abs drift {diffs.max()}"

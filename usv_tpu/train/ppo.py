@@ -85,6 +85,18 @@ class PpoConfig:
     # test_shard_local_shuffle_traffic). 0/1 = global shuffle (SB3
     # semantics). Requires num_envs % S == 0 and batch_size*fusion % S == 0.
     shuffle_groups: int = 0
+    # Rotation mitigation for the grouped shuffle's measured quality
+    # deficit (VERDICT r4 next-#1b): between iterations the per-env
+    # carried state (env state, frame stack, sde) is randomly PERMUTED
+    # across the env axis, so each iteration's env-contiguous groups hold
+    # a fresh random membership — over iterations every env mixes with
+    # every other, removing the fixed-coupling restriction entirely while
+    # each iteration's minibatches stay stratified and shard-local. The
+    # traffic cost is an all-to-all of STATE bytes once per iteration —
+    # n_steps-independent, ~1/n_steps of one rollout shuffle (a roll of
+    # the rollout itself was measured to lower WORSE than the global
+    # shuffle; see the _iteration_impl comment).
+    shuffle_group_rotate: bool = False
     # Numerical guard (utils/guards.py; see SacConfig.sanitize_envs): diverged
     # envs terminate with reward 0 and auto-reset instead of poisoning the
     # on-policy batch with NaN. Default ON.
@@ -353,7 +365,6 @@ class PpoLearner:
                 adv=advs,
                 ret=returns,
             )
-
             def shuffle_batch(ek):
                 return grouped_minibatches(
                     rollout, cfg.shuffle_groups, eff_batch, ek
@@ -410,6 +421,30 @@ class PpoLearner:
             params=params, opt_state=opt_state,
             update_count=ts.update_count + 1,
         )
+        if cfg.shuffle_groups > 1 and cfg.shuffle_group_rotate:
+            # Group-membership rotation (see the config comment): permute
+            # the per-env carried state BETWEEN iterations, so the next
+            # rollout's env-contiguous groups hold a fresh random subset of
+            # trajectories. Permuting STATE (one step's worth of bytes)
+            # instead of the rollout keeps the traffic rollout-size
+            # independent — a dynamic roll of the (n_steps, num_envs, obs)
+            # arrays was measured to lower to MORE collective bytes than
+            # the global shuffle it replaces (2.4x its growth on the
+            # 8-device mesh), while this all-to-all is bounded by state
+            # bytes once per iteration.
+            key, k_rot = jax.random.split(ts.key)
+            perm = jax.random.permutation(k_rot, cfg.num_envs)
+
+            def pick(x):
+                return jnp.take(x, perm, axis=0)
+
+            ts = ts.replace(
+                env_state=jax.tree.map(pick, ts.env_state),
+                frames=pick(ts.frames),
+                sde=(jax.tree.map(pick, ts.sde)
+                     if ts.sde is not None else None),
+                key=key,
+            )
         return ts, mean_reward
 
     def train_iteration(self, ts: PpoTrainState):

@@ -115,6 +115,12 @@ def build_parser():
                         "groups instead of globally (stratified minibatches; "
                         "keeps the shuffle shard-local on an N-divisible "
                         "device mesh — docs/SCALING.md; 0 = global shuffle)")
+    p.add_argument("--rotate-groups", action="store_true",
+                   help="with --shuffle-groups: randomly permute the "
+                        "per-env state between iterations so group "
+                        "membership rotates (full mixing over iterations; "
+                        "cross-shard traffic bounded by STATE bytes once "
+                        "per iteration — docs/SCALING.md)")
     p.add_argument("--video-every-iters", type=int, default=0,
                    help="record a policy episode video every N iterations")
     p.add_argument("--watch-every-iters", type=int, default=20,
@@ -178,6 +184,7 @@ def run_population(args):
         update_fusion=args.update_fusion,
         reshuffle_epochs=not args.single_shuffle,
         shuffle_groups=args.shuffle_groups,
+        shuffle_group_rotate=args.rotate_groups,
     )
     learner = PpoLearner(handle, cfg)
     seeds = list(range(args.seed, args.seed + args.population))
@@ -228,6 +235,7 @@ def main(argv=None):
         update_fusion=args.update_fusion,
         reshuffle_epochs=not args.single_shuffle,
         shuffle_groups=args.shuffle_groups,
+        shuffle_group_rotate=args.rotate_groups,
     )
     learner = PpoLearner(handle, cfg)
     ts = learner.init(seed=args.seed)
