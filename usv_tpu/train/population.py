@@ -164,6 +164,13 @@ def select_and_export_winner(learner, seeds, candidates, args,
             in_run_best=float(cand["score"]),
             select_scores=[p["score"] for p in per_key],
             select_mean=float(np.mean([p["score"] for p in per_key])),
+            # full per-candidate eval stats averaged over the select keys —
+            # this is what puts collisions-at-selection next to arrivals in
+            # the exported table (VERDICT r4 next-#7's trade curve)
+            select_stats_mean={
+                k: float(np.mean([p["stats"][k] for p in per_key]))
+                for k in per_key[0]["stats"]
+            },
             first_eval=per_key[0],
         ))
     winner = int(np.argmax([s["select_mean"] for s in sel]))
