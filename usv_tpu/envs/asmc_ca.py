@@ -122,26 +122,41 @@ class CaEnvState:
 
 
 def _build_core(cfg: CaEnvConfig, key) -> CaEnvState:
-    """Sample start/target/obstacles — reference reset :327-398 (pre-step)."""
-    keys = jax.random.split(key, 8)  # keys[7] stays unconsumed (state key)
-    x = jax.random.uniform(keys[0], minval=cfg.min_x, maxval=cfg.max_x)
-    y = jax.random.uniform(keys[1], minval=cfg.min_y, maxval=cfg.min_y + 5.0)
-    theta = jax.random.uniform(keys[2], minval=-np.pi / 4, maxval=np.pi / 4)
+    """Sample start/target/obstacles — reference reset :327-398 (pre-step).
+
+    Round 5: one threefry sweep for every draw (the same fusion that cut
+    the simple env's autoreset increment — the branch-free autoreset
+    re-runs this per step per env); distributions unchanged (Box-Muller
+    normals, affine uniforms), stream differs from rounds 1-4.
+    """
+    K = cfg.obstacle_cap
+    key, state_key = jax.random.split(key)
+    # layout: [0] x, [1] y, [2] theta, [3:5] target, [5] num_obs,
+    # [6:6+K] obs_r, [6+K:6+3K] Box-Muller uniforms for (K, 2) normals
+    u = jax.random.uniform(key, (6 + 3 * K,), dtype=jnp.float32)
+    x = cfg.min_x + u[0] * (cfg.max_x - cfg.min_x)
+    y = cfg.min_y + u[1] * 5.0
+    theta = (u[2] - 0.5) * (np.pi / 2)
     pose = jnp.stack([x, y, theta])
 
-    target = jax.random.uniform(
-        keys[3], (2,),
-        minval=jnp.asarray([cfg.min_x, cfg.max_y - 5.0]),
-        maxval=jnp.asarray([cfg.max_x - 10.0, cfg.max_y - 1.0]),
+    target = (
+        jnp.asarray([cfg.min_x, cfg.max_y - 5.0])
+        + u[3:5] * jnp.asarray([cfg.max_x - 10.0 - cfg.min_x, 4.0])
     )
 
-    K = cfg.obstacle_cap
-    num_obs = jax.random.uniform(keys[4], minval=2.0, maxval=10.0).astype(jnp.int32)
+    num_obs = (2.0 + 8.0 * u[5]).astype(jnp.int32)
     if not cfg.place_obstacles:
         num_obs = jnp.zeros((), jnp.int32)
     center = 0.5 * (pose[:2] + target)
-    obs_r = jax.random.uniform(keys[5], (K,), minval=1.0, maxval=2.0)
-    obs_xy = center + jax.random.normal(keys[6], (K, 2)) * 10.0
+    obs_r = 1.0 + u[6:6 + K]
+    u1 = u[6 + K:6 + 2 * K]
+    u2 = u[6 + 2 * K:6 + 3 * K]
+    r_bm = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-38)))
+    normals = jnp.stack(
+        [r_bm * jnp.cos(2.0 * np.pi * u2), r_bm * jnp.sin(2.0 * np.pi * u2)],
+        axis=-1,
+    )
+    obs_xy = center + normals * 10.0
     mask = jnp.arange(K) < num_obs
 
     # Prune obstacles near start and near target (:376-398)
@@ -151,7 +166,7 @@ def _build_core(cfg: CaEnvConfig, key) -> CaEnvState:
     mask = mask & (d_start >= 0) & (d_tgt >= 0)
 
     return CaEnvState(
-        key=keys[7],
+        key=state_key,
         ctrl=init_asmc(),
         dyn=DynamicsState(
             pose=pose.astype(jnp.float32),
