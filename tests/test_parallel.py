@@ -699,8 +699,11 @@ def test_rotate_groups_membership_and_placement():
     sig_base = env_signature(ts_base.env_state)
     order_rot = np.lexsort(sig_rot.T[::-1])
     order_base = np.lexsort(sig_base.T[::-1])
-    np.testing.assert_array_equal(
-        sig_rot[order_rot], sig_base[order_base],
+    # allclose, not bitwise: the two learners compile DIFFERENT programs
+    # (one ends in gathers), and XLA may legally reorder the shared
+    # prefix's float contractions across compiler versions
+    np.testing.assert_allclose(
+        sig_rot[order_rot], sig_base[order_base], rtol=1e-6, atol=1e-6,
     )
     assert not np.array_equal(sig_rot, sig_base), "rotation was identity"
     # the frame stack rode along with its env rows

@@ -143,4 +143,5 @@ def test_population_mode_surfaces_unsupported_flags(tmp_path, capsys):
         eval_every=1, params_of=lambda t: t.params,
     )
     outerr = capsys.readouterr()
-    assert "ignoring --checkpoint-every-iters" in outerr.out
+    assert "--checkpoint-every-iters" in outerr.out  # listed as ignored
+    assert "not supported and are skipped" in outerr.out

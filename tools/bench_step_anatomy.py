@@ -139,96 +139,13 @@ def main():
 
     progs["select_only"] = select_only_prog()
 
-    # --- round-5 attack candidate: ONE threefry sweep per reset. The
-    # production reset makes 13 key splits + ~14 separate draws (~88
-    # threefry blocks/env + op-chain overhead); this variant draws a single
-    # (128,) uniform block (64 blocks + 1 split) and derives every quantity
-    # from slices — identical distributions (Box-Muller normals, floored
-    # randint, affine uniforms), different stream. Only the usv-simple
-    # family with path_obstacles == 0 is prototyped here; promoted to the
-    # real reset only if the same-session A/B wins.
-    if args.env == "usv-simple" and not getattr(cfg, "path_obstacles", 0):
-        import numpy as np
-
-        def fused_reset(key):
-            key, state_key = jax.random.split(key)
-            u = jax.random.uniform(key, (112,), dtype=jnp.float32)
-            two_pi = 2.0 * np.pi
-            half = cfg.env_bound / 2.0
-            # Box-Muller pair for path_start (exact normal)
-            r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[0], 1e-38)))
-            n0 = r * jnp.cos(two_pi * u[1])
-            n1 = r * jnp.sin(two_pi * u[1])
-            path_start = jnp.stack([n0, n1]) * 0.5 + half
-            heading = u[2] * two_pi - np.pi
-            position = jnp.concatenate([path_start, heading[None]])
-            angle = u[3] * two_pi - np.pi
-            dist = 100.0 + 10.0 * u[4]
-            path_end = path_start + jnp.stack(
-                [jnp.cos(angle), jnp.sin(angle)]) * dist
-            target_position = u[5:7] * cfg.env_bound
-            velocity = u[7:10] * 0.15
-            max_action = jnp.stack(
-                [1.5 + 1.5 * u[10], jnp.zeros(()), 3.0 + 3.0 * u[11]])
-            reference_velocity = 0.75 + u[12] * (max_action[0] - 0.75)
-            max_acceleration = jnp.asarray([1.75, 0.0, 3.0], jnp.float32)
-            K = cfg.obstacle_cap
-            obstacle_n = 15 + jnp.floor(u[13] * 15.0).astype(jnp.int32)
-            obs_xy = u[14:14 + 2 * K].reshape(K, 2) * cfg.env_bound
-            obs_r = 0.15 + 0.35 * u[14 + 2 * K:14 + 3 * K]
-            slot = jnp.arange(K)
-            obs_mask = slot < obstacle_n
-            d_pos = jnp.hypot(obs_xy[:, 0] - position[0],
-                              obs_xy[:, 1] - position[1])
-            d_tgt = jnp.hypot(obs_xy[:, 0] - target_position[0],
-                              obs_xy[:, 1] - target_position[1])
-            keep = obs_mask & ~((d_pos < 0.5) | (d_tgt < 0.5))
-            no_random = ~jnp.any(keep)
-            fallback_xy = u[110:112] * cfg.env_bound
-            obs_xy = jnp.where((no_random & (slot == 0))[:, None],
-                               fallback_xy[None, :], obs_xy)
-            keep = keep | (no_random & (slot == 0))
-            from usv_tpu.envs.simple import SimpleEnvState
-
-            return SimpleEnvState(
-                key=state_key,
-                position=position.astype(jnp.float32),
-                velocity=velocity.astype(jnp.float32),
-                last_action=jnp.zeros(3, jnp.float32),
-                path_start=path_start.astype(jnp.float32),
-                path_end=path_end.astype(jnp.float32),
-                progress=jnp.zeros((), jnp.float32),
-                target_position=target_position.astype(jnp.float32),
-                max_action=max_action.astype(jnp.float32),
-                max_acceleration=max_acceleration,
-                reference_velocity=reference_velocity.astype(jnp.float32),
-                obs_xy=obs_xy.astype(jnp.float32),
-                obs_r=obs_r.astype(jnp.float32),
-                obs_mask=keep,
-                sensor_dist=jnp.zeros(cfg.sensor_count, jnp.float32),
-                step_count=jnp.zeros((), jnp.int32),
-            )
-
-        vreset_fused = jax.vmap(fused_reset)
-        vauto_fused = jax.vmap(make_autoreset_step(
-            cfg, handle.step, lambda c, k: fused_reset(k), handle.reset_obs
-        ))
-        progs["autoreset_fused_draws"] = scan_prog(
-            state_body(vauto_fused), init_states
-        )
-
-        def fused_reset_body(carry, _):
-            key, acc = carry
-            key, kr = jax.random.split(key)
-            st = vreset_fused(jax.random.split(kr, B))
-            return (key, acc + jnp.sum(st.position[..., :1])), None
-
-        progs["fused_reset_only"] = scan_prog(
-            fused_reset_body, lambda k: (k, jnp.zeros(()))
-        )
-    progs["rbg"] = scan_prog(
-        state_body(vauto), lambda key: init_states(key, impl="rbg")
-    )
+    # (A prototype "fused single-threefry-sweep reset" variant lived here
+    # during round 5; it WON the same-session A/B — autoreset 128.5 ->
+    # 111.0 us — and was promoted into envs/simple.py::reset (and the CA
+    # env's _build_core), so the production `autoreset` row now measures
+    # the fused form. The recorded A/B lives in docs/PERFORMANCE.md
+    # "round-5 anatomy"; the prototype was removed to keep this tool from
+    # silently desynchronizing from the production layout.)
 
     def reset_body(carry, _):
         key, acc = carry

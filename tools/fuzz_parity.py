@@ -104,7 +104,7 @@ class _Family:
         self.circular_idx = CIRCULAR_IDX[eid]
         # a FRESH reference env per seed: the reference's reset does not
         # clear last_action/sensor_data (a quirk this harness found — see
-        # test_compat.py::test_simple_stale_reset_carryover_quirk), so a
+        # tests/test_seed_parity.py::test_simple_stale_reset_carryover_quirk), so a
         # reused instance diverges from our stateless reset by design;
         # fresh-per-seed compares like against like
         if eid in ("usv-simple", "usv-asmc-simple"):

@@ -68,6 +68,22 @@ class GymUsvEnv(gymnasium.Env if _HAS_GYMNASIUM else object):
         self.stale_reset_carryover = stale_reset_carryover
         self._config_overrides = dict(config_overrides)
         self._build(self._config_overrides)
+        if stale_reset_carryover:
+            # only the simple family has the quirk's carrier fields; fail
+            # fast instead of silently no-opping on CA/legacy/curved
+            shape = jax.eval_shape(
+                lambda k: self.handle.reset(self.handle.cfg, k),
+                jax.random.key(0),
+            )
+            base = getattr(shape, "base", shape)
+            if not (hasattr(base, "last_action")
+                    and hasattr(base, "sensor_dist")):
+                raise ValueError(
+                    f"stale_reset_carryover is not supported for "
+                    f"{self.env_id}: its state has no last_action/"
+                    f"sensor_dist to carry (the quirk is specific to the "
+                    f"reference simple family, simple_env.py:228-308)"
+                )
         self._seed_counter = 0
         self._state = None
         self._renderer = None

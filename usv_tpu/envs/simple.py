@@ -257,8 +257,9 @@ def reset(cfg: SimpleEnvConfig, key) -> SimpleEnvState:
     The rounds-1-4 form made 13 key splits + ~14 separate draw calls
     (~88 threefry blocks/env); under the branch-free autoreset this reset
     runs EVERY step for EVERY env, and the fused sweep cut the measured
-    autoreset increment from 37 to 18 µs at the 4096-env bench protocol
-    (+14% on the headline — docs/PERFORMANCE.md roofline section).
+    autoreset increment from 41 to 27 µs at the 4096-env bench protocol
+    (reset-math share 36 -> 20 µs; +11% on the headline — same-session
+    bench A/B/A 31.3/28.3/31.6 M, docs/PERFORMANCE.md roofline section).
     Distributions are unchanged; the raw stream differs from rounds 1-4
     (nothing pins it: parity vs the reference uses host-side seed replay,
     and the golden tests override every sampled field).

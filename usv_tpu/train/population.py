@@ -43,11 +43,18 @@ def run_population_loop(learner, seeds, ts, args, *, train_many,
             "--resume is not supported with --population/--recipe robust: "
             "population runs keep no on-disk checkpoint to resume from"
         )
-    # Warn only for values the user actually set: some of these flags have
-    # non-zero parser defaults (run_ppo's --watch-every-iters is 20), and a
+    # One unconditional info line (argparse cannot distinguish an
+    # explicitly-passed default value, so a blanket notice is the only way
+    # a user who typed `--checkpoint-every-iters 20` still learns it is
+    # skipped), plus a per-flag warning only for values that differ from
+    # the parser defaults the CLIs stash as _parser_defaults — a
     # default-valued flag the user never touched is not an opt-in worth a
-    # permanent warning on every robust run (ADVICE r4 #2). The CLIs stash
-    # their parser defaults on args as _parser_defaults.
+    # louder warning on every robust run (ADVICE r4 #2).
+    print(
+        "population mode: per-seed checkpoints/videos/param-watch are not "
+        "supported and are skipped",
+        flush=True,
+    )
     defaults = getattr(args, "_parser_defaults", {})
     dropped = [
         f for f in ("checkpoint_every_iters", "checkpoint_every_blocks",
@@ -57,9 +64,9 @@ def run_population_loop(learner, seeds, ts, args, *, train_many,
     ]
     if dropped:
         print(
-            "population mode: no per-seed checkpoints/videos/param-watch — "
-            f"ignoring {', '.join('--' + f.replace('_', '-') for f in dropped)} "
-            "(pass 0 to silence)",
+            "population mode: explicitly requested "
+            f"{', '.join('--' + f.replace('_', '-') for f in dropped)} "
+            "will be ignored (pass 0 to silence)",
             flush=True,
         )
 

@@ -210,6 +210,13 @@ def run_population(args):
 def main(argv=None):
     p = build_parser()
     args = apply_recipe(p.parse_args(argv), p)
+    if args.rotate_groups and args.shuffle_groups <= 1:
+        # fail fast: the mitigation is gated on the grouped shuffle and
+        # would otherwise be a silent no-op
+        p.error("--rotate-groups requires --shuffle-groups > 1 "
+                "(rotation permutes group MEMBERSHIP of the grouped "
+                "shuffle; with the global shuffle there is nothing to "
+                "rotate)")
     # population.py warns about flags it must ignore only when they differ
     # from these parser defaults (i.e. the user actually set them)
     args._parser_defaults = {f: p.get_default(f) for f in vars(args)}
